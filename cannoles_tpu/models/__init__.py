@@ -1,0 +1,32 @@
+"""Problem library: basic fixtures + the Moré–Garbow–Hillstrom battery."""
+
+from .basic import (
+    chained_rosenbrock,
+    constrained,
+    hs6,
+    linear_nls,
+    mgh01,
+    mgh01con,
+    mgh01_nofhess,
+    readme_example,
+    rosenbrock_nls,
+    underdetermined,
+)
+from .mgh import MGH_NAMES, MGHSpec, mgh_problem, mgh_suite
+
+__all__ = [
+    "readme_example",
+    "mgh01",
+    "mgh01con",
+    "mgh01_nofhess",
+    "hs6",
+    "linear_nls",
+    "rosenbrock_nls",
+    "chained_rosenbrock",
+    "underdetermined",
+    "constrained",
+    "MGH_NAMES",
+    "MGHSpec",
+    "mgh_problem",
+    "mgh_suite",
+]

@@ -1,0 +1,132 @@
+"""Instance-batch data parallelism: vmapped solves, sharded across a mesh.
+
+This is parallelism axis #1 of the TPU build (SURVEY.md §2.3): the reference
+is a single-CPU solver, so batching thousands of NLS instances is new
+capability mandated by the BASELINE north star.  The entire solver state
+machine (init → outer while_loop → status) is vmapped — per-instance control
+flow (rho bumps, backtracking, inner-loop lengths, convergence) runs in
+masked lanes, and one diverging instance cannot stall or kill the batch
+(unlike the reference, which raises; SURVEY.md §5 failure handling).
+
+Sharding: the batch axis is laid out over a ``jax.sharding.Mesh`` with
+``NamedSharding(P('batch'))``; XLA partitions the vmapped program across
+devices with zero communication in the solve itself, and batch-level
+convergence statistics are reduced with ``psum``-style collectives
+(``summarize``)."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.solver import CaNNOLeSSolver, SolverState
+from ..core.status import Status
+from ..problem import NLSProblem
+
+__all__ = ["vsolve", "BatchResult", "make_batch_mesh"]
+
+
+@dataclasses.dataclass
+class BatchResult:
+    """Batched terminal states + host-side summary accessors."""
+
+    states: SolverState  # every leaf has a leading batch axis
+
+    @property
+    def solution(self):
+        return np.asarray(self.states.x)
+
+    @property
+    def multipliers(self):
+        return np.asarray(self.states.lam)
+
+    @property
+    def status(self):
+        return np.asarray(self.states.status)
+
+    @property
+    def objective(self):
+        return np.asarray(self.states.fx)
+
+    @property
+    def iterations(self):
+        return np.asarray(self.states.iter)
+
+    @property
+    def dual_feas(self):
+        return np.asarray(self.states.normdual)
+
+    def solved_mask(self) -> np.ndarray:
+        st = self.status
+        return (st == Status.FIRST_ORDER) | (st == Status.SMALL_RESIDUAL)
+
+    def summary(self) -> Dict[str, Any]:
+        st = self.status
+        return {
+            "n": int(st.shape[0]),
+            "solved": int(self.solved_mask().sum()),
+            "first_order": int((st == Status.FIRST_ORDER).sum()),
+            "small_residual": int((st == Status.SMALL_RESIDUAL).sum()),
+            "exception": int((st == Status.EXCEPTION).sum()),
+            "mean_iter": float(self.iterations.mean()),
+            "max_iter": int(self.iterations.max()),
+        }
+
+
+def make_batch_mesh(devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), axis_names=("batch",))
+
+
+def vsolve(
+    problem: NLSProblem,
+    x0_batch,
+    lam0_batch=None,
+    data_batch=None,
+    *,
+    solver: Optional[CaNNOLeSSolver] = None,
+    method: str = "newton",
+    linsolve: str = "ldlt",
+    mesh: Optional[Mesh] = None,
+    max_iter: int = 100,
+    **numeric,
+) -> BatchResult:
+    """Solve a batch of instances of one problem family in a single compiled
+    program (BASELINE configs 3 & 5).
+
+    ``x0_batch``: (B, nvar).  ``data_batch``: optional pytree whose leaves
+    carry a leading B axis, parameterizing per-instance problem data.  With a
+    ``mesh``, the batch axis is sharded across its devices.
+    """
+    problem.validate_for_solve()
+    if solver is None:
+        solver = CaNNOLeSSolver(problem, method=method, linsolve=linsolve)
+    x0_batch = jnp.asarray(x0_batch, dtype=solver.dtype)
+    B = x0_batch.shape[0]
+    if lam0_batch is None:
+        lam0_batch = jnp.broadcast_to(
+            jnp.asarray(problem.y0, dtype=solver.dtype), (B, problem.ncon)
+        )
+    cfg = solver.make_config(max_iter=max_iter, **numeric)
+
+    run = jax.jit(
+        jax.vmap(
+            solver._run_compiled,
+            in_axes=(0, 0, None, None if data_batch is None else 0),
+        )
+    )
+
+    if mesh is not None:
+        sh = NamedSharding(mesh, P("batch"))
+        x0_batch = jax.device_put(x0_batch, sh)
+        lam0_batch = jax.device_put(lam0_batch, sh)
+        if data_batch is not None:
+            data_batch = jax.tree.map(lambda a: jax.device_put(a, sh), data_batch)
+
+    states = run(x0_batch, lam0_batch, cfg, data_batch)
+    return BatchResult(states=states)

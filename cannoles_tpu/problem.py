@@ -1,0 +1,232 @@
+"""Problem protocol: equality-constrained nonlinear least squares.
+
+TPU-native replacement for the NLPModels.jl API consumed by the reference
+(``/root/reference/src/CaNNOLeS.jl:259-291, 467-498, 715-719, 952-976``):
+instead of in-place callbacks + COO sparsity structures, the user supplies two
+pure functions
+
+    residual(x[, data]) -> (nequ,)   and   cons(x[, data]) -> (ncon,)
+
+and every derivative the solver needs is obtained by JAX transforms:
+
+  J(x)            = jax.jacfwd(residual)                 (dense (nequ, nvar))
+  Jc(x)           = jax.jacfwd(cons)                     (dense (ncon, nvar))
+  sum_i r_i H F_i = jax.hessian(x -> <residual(x), r>)   (weighted residual Hessian)
+  sum_i y_i H c_i = jax.hessian(x -> <cons(x), y>)       (weighted constraint Hessian,
+                                                          NLPModels hess_coord! with
+                                                          obj_weight = 0)
+
+Sparsity is deliberately dropped: on TPU the problems in the vmapped batch
+regime are small-dense (MXU-friendly), and the large regime is handled by
+row-block sharding + Schur reduction (see ``cannoles_tpu.parallel``), not by a
+sparse factorization.
+
+The optional ``data`` pytree parameterizes a problem *family*: a single
+compiled solver can then be vmapped/sharded over thousands of instances that
+share structure but differ in data (initial points, observations, ...), which
+is the instance-batch parallelism axis of the TPU build.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import inspect
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["NLSProblem", "nls_problem", "Counters"]
+
+
+class Counters:
+    """Evaluation counters, mirroring NLPModels NLSCounters as used by the
+    reference's `eval_fun` budget test (/root/reference/src/CaNNOLeS.jl:559)."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.neval_residual = 0
+        self.neval_cons = 0
+        self.neval_jac_residual = 0
+        self.neval_jac = 0
+        self.neval_hess_residual = 0
+        self.neval_hess = 0
+
+    def eval_fun(self) -> int:
+        # reference budget: neval_residual + neval_cons (CaNNOLeS.jl:123)
+        return self.neval_residual + self.neval_cons
+
+
+def _wants_data(fn: Callable) -> bool:
+    try:
+        sig = inspect.signature(fn)
+    except (TypeError, ValueError):
+        return False
+    return len(sig.parameters) >= 2
+
+
+@dataclasses.dataclass(frozen=True)
+class NLSProblem:
+    """min ½‖residual(x)‖²  s.t.  cons(x) = lcon  (= ucon), no bounds.
+
+    Fields mirror the NLPModelMeta/NLSMeta surface the reference consumes;
+    dims are static Python ints (jit specialization keys), arrays are JAX/numpy.
+    """
+
+    residual: Callable  # (x, data) -> (nequ,)
+    nvar: int
+    nequ: int
+    x0: Any
+    cons: Optional[Callable] = None  # (x, data) -> (ncon,)
+    ncon: int = 0
+    lcon: Any = None
+    ucon: Any = None
+    y0: Any = None
+    lvar: Any = None
+    uvar: Any = None
+    data: Any = None
+    name: str = "generic"
+    minimize: bool = True
+    # If False the problem declares it cannot provide second-order residual
+    # information (analog of a model not implementing hess_coord_residual!,
+    # reference test/noFHess-model.jl); method='newton' must then be rejected.
+    has_residual_hessian: bool = True
+    # Optional analytic overrides (else AD). Signatures f(x, data).
+    jac_residual: Optional[Callable] = None
+    hess_residual_weighted: Optional[Callable] = None  # (x, r, data) -> (n, n)
+    jac_cons: Optional[Callable] = None
+    hess_cons_weighted: Optional[Callable] = None  # (x, y, data) -> (n, n)
+
+    # ---- validation (reference cannoles() guards, CaNNOLeS.jl:408-413) ----
+    def validate_for_solve(self):
+        if not self.minimize:
+            raise ValueError("CaNNOLeS only works for minimization problem")
+        if self.has_inequalities() or self.has_bounds():
+            raise ValueError("Problem has inequalities, can't solve it")
+
+    def has_bounds(self) -> bool:
+        if self.lvar is None and self.uvar is None:
+            return False
+        lv = np.asarray(self.lvar) if self.lvar is not None else np.full(self.nvar, -np.inf)
+        uv = np.asarray(self.uvar) if self.uvar is not None else np.full(self.nvar, np.inf)
+        return bool(np.any(np.isfinite(lv)) or np.any(np.isfinite(uv)))
+
+    def has_inequalities(self) -> bool:
+        if self.ncon == 0:
+            return False
+        return bool(np.any(np.asarray(self.lcon) != np.asarray(self.ucon)))
+
+    # ---- evaluation helpers (all pure; data closed in by the solver) ----
+    def F(self, x, data=None):
+        return self.residual(x, data)
+
+    def c_shifted(self, x, data=None):
+        """cons(x) - lcon, the equality residual (reference c!, CaNNOLeS.jl:469-477)."""
+        if self.ncon == 0:
+            return jnp.zeros((0,), dtype=x.dtype)
+        return self.cons(x, data) - jnp.asarray(self.lcon, dtype=x.dtype)
+
+    def J(self, x, data=None):
+        if self.jac_residual is not None:
+            return self.jac_residual(x, data)
+        return jax.jacfwd(lambda z: self.residual(z, data))(x)
+
+    def Jc(self, x, data=None):
+        if self.ncon == 0:
+            return jnp.zeros((0, self.nvar), dtype=x.dtype)
+        if self.jac_cons is not None:
+            return self.jac_cons(x, data)
+        return jax.jacfwd(lambda z: self.cons(z, data))(x)
+
+    def hess_res(self, x, r, data=None):
+        """sum_i r_i * hessian(F_i)(x) — the exact second-order term
+        (reference hess_coord_residual!, hessian_approx.jl:50-53)."""
+        if not self.has_residual_hessian:
+            raise NotImplementedError(
+                f"problem '{self.name}' provides no residual Hessian; "
+                "use method='gauss_newton' (reference :Newton_noFHess)"
+            )
+        if self.hess_residual_weighted is not None:
+            return self.hess_residual_weighted(x, r, data)
+        return jax.hessian(lambda z: jnp.vdot(self.residual(z, data), r))(x)
+
+    def hess_cons(self, x, y, data=None):
+        """sum_i y_i * hessian(c_i)(x) — NLPModels hess with obj_weight=0
+        (reference CaNNOLeS.jl:971)."""
+        if self.ncon == 0:
+            return jnp.zeros((self.nvar, self.nvar), dtype=x.dtype)
+        if self.hess_cons_weighted is not None:
+            return self.hess_cons_weighted(x, y, data)
+        return jax.hessian(lambda z: jnp.vdot(self.cons(z, data), y))(x)
+
+
+def nls_problem(
+    residual: Callable,
+    x0,
+    nequ: int,
+    cons: Optional[Callable] = None,
+    lcon=None,
+    ucon=None,
+    *,
+    y0=None,
+    lvar=None,
+    uvar=None,
+    data: Any = None,
+    name: str = "generic",
+    minimize: bool = True,
+    has_residual_hessian: bool = True,
+    **analytic,
+) -> NLSProblem:
+    """Build an :class:`NLSProblem` — the ADNLSModel analog.
+
+    ``residual``/``cons`` may take one arg ``f(x)`` or two ``f(x, data)``.
+    """
+    x0 = jnp.asarray(x0)
+    nvar = int(x0.shape[0])
+
+    def _lift(fn):
+        if fn is None:
+            return None
+        if _wants_data(fn):
+            return fn
+        return lambda x, data, _fn=fn: _fn(x)
+
+    res = _lift(residual)
+    con = _lift(cons)
+
+    ncon = 0
+    if con is not None:
+        if lcon is None:
+            raise ValueError("constrained problem requires lcon (and ucon)")
+        lcon = jnp.atleast_1d(jnp.asarray(lcon))
+        ucon = jnp.atleast_1d(jnp.asarray(ucon)) if ucon is not None else lcon
+        ncon = int(lcon.shape[0])
+    if y0 is None:
+        y0 = jnp.zeros((ncon,), dtype=x0.dtype)
+    else:
+        y0 = jnp.asarray(y0)
+
+    return NLSProblem(
+        residual=res,
+        nvar=nvar,
+        nequ=int(nequ),
+        x0=x0,
+        cons=con,
+        ncon=ncon,
+        lcon=lcon,
+        ucon=ucon,
+        y0=y0,
+        lvar=lvar,
+        uvar=uvar,
+        data=data,
+        name=name,
+        minimize=minimize,
+        has_residual_hessian=has_residual_hessian,
+        jac_residual=_lift(analytic.get("jac_residual")),
+        hess_residual_weighted=analytic.get("hess_residual_weighted"),
+        jac_cons=_lift(analytic.get("jac_cons")),
+        hess_cons_weighted=analytic.get("hess_cons_weighted"),
+    )

@@ -1,0 +1,94 @@
+"""Batched vmapped solves + mesh sharding (BASELINE configs 3/5; new TPU
+capability, no reference analog — SURVEY.md §2.3)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cannoles_tpu import CaNNOLeSSolver, cannoles, nls_problem
+from cannoles_tpu.parallel.batch import make_batch_mesh, vsolve
+
+
+def _family():
+    def residual(x, d):
+        return jnp.array([x[0] - d[0], 10 * (x[1] - x[0] ** 2)])
+
+    def cons(x, d):
+        return jnp.array([x[0] + x[1] - d[1]])
+
+    return nls_problem(
+        residual,
+        jnp.array([-1.2, 1.0]),
+        2,
+        cons,
+        [0.0],
+        [0.0],
+        data=jnp.zeros((2,)),
+        name="family",
+    )
+
+
+def test_vsolve_matches_scalar_solve():
+    pb = _family()
+    B = 4
+    rng = np.random.default_rng(0)
+    x0s = jnp.asarray(rng.normal(scale=0.2, size=(B, 2)) + np.array([-1.2, 1.0]))
+    datas = jnp.asarray(np.stack([np.ones(B), np.ones(B)], axis=1) + 0.1 * rng.normal(size=(B, 2)))
+
+    res = vsolve(pb, x0s, data_batch=datas, max_iter=100)
+    assert res.solved_mask().all(), res.summary()
+
+    # lane 0 must match a scalar solve of the same instance
+    import dataclasses
+
+    pb0 = dataclasses.replace(pb, data=datas[0])
+    stats0 = cannoles(pb0, x=x0s[0])
+    assert np.allclose(res.solution[0], stats0.solution, atol=1e-8), (
+        res.solution[0], stats0.solution)
+    assert int(res.iterations[0]) == stats0.iter
+
+
+def test_vsolve_diverging_lane_does_not_kill_batch():
+    """One pathological instance must not prevent the others from solving
+    (the reference would raise; SURVEY.md §5 failure handling)."""
+    def residual(x, d):
+        # d[0]=1 lane is fine; huge d[0] makes an ill-scaled instance
+        return jnp.array([d[0] * (x[0] - 1), 10 * (x[1] - x[0] ** 2)])
+
+    pb = nls_problem(residual, jnp.array([-1.2, 1.0]), 2, data=jnp.ones((1,)), name="mix")
+    datas = jnp.array([[1.0], [1.0], [1e30], [1.0]])
+    x0s = jnp.broadcast_to(jnp.array([-1.2, 1.0]), (4, 2))
+    res = vsolve(pb, x0s, data_batch=datas, max_iter=50)
+    ok = res.solved_mask()
+    assert ok[0] and ok[1] and ok[3]
+    assert np.isfinite(res.solution[[0, 1, 3]]).all()
+
+
+def test_vsolve_sharded_over_mesh():
+    pb = _family()
+    mesh = make_batch_mesh()  # 8 virtual CPU devices from conftest
+    B = 16
+    rng = np.random.default_rng(1)
+    x0s = jnp.asarray(rng.normal(scale=0.2, size=(B, 2)) + np.array([-1.2, 1.0]))
+    datas = jnp.ones((B, 2))
+    res = vsolve(pb, x0s, data_batch=datas, mesh=mesh, max_iter=100)
+    assert res.solved_mask().all(), res.summary()
+    # all lanes share the same data ⇒ same solution
+    assert np.allclose(res.solution, res.solution[0], atol=1e-6)
+
+
+def test_graft_entry_compiles():
+    import importlib.util
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__", pathlib.Path(__file__).parent.parent / "__graft_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    fn, args = mod.entry()
+    out = jax.jit(fn)(*args)
+    xs, status, fx = jax.tree.map(jax.block_until_ready, out)
+    assert xs.shape[0] == args[0].shape[0]
+    mod.dryrun_multichip(8)
