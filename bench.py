@@ -44,7 +44,7 @@ def main():
         name="bench_lm_family",
     )
 
-    solver = CaNNOLeSSolver(problem, method="lm", linsolve="ldlt", dtype=dtype)
+    solver = CaNNOLeSSolver(problem, method="lm", linsolve="ldlt", kkt="condensed", dtype=dtype)
     cfg = solver.make_config(max_iter=50)
 
     B = 4096

@@ -35,7 +35,7 @@ import numpy as np
 from jax import lax
 
 from ..ops.cgls import cgls
-from ..ops.ldlt import factor_solve, factorize
+from ..ops.ldlt import factor_solve, factorize, inertia_success
 from ..params import F_BLOWUP, MAX_DLAMBDA, SMAX, Params
 from ..problem import NLSProblem
 from ..utils.linalg import check_nan_inf, norm_1, norm_2, norm_inf
@@ -59,8 +59,8 @@ _METHOD_ALIASES = {
     "newton_nofhess": "gauss_newton",
     "Newton_vanishing": "newton_vanishing",
 }
-AVAILABLE_LINSOLVE = ("ldlt", "eigh")
-_LINSOLVE_ALIASES = {"ldlfactorizations": "ldlt", "ma57": "eigh", "pallas_ldl": "ldlt"}
+AVAILABLE_LINSOLVE = ("ldlt", "eigh", "pallas", "cpp")
+_LINSOLVE_ALIASES = {"ldlfactorizations": "ldlt", "ma57": "eigh", "pallas_ldl": "pallas"}
 
 
 def _check_available_method(method: str) -> str:
@@ -140,8 +140,7 @@ class _InnerCarry(NamedTuple):
 class _RhoCarry(NamedTuple):
     k: jax.Array
     rho: jax.Array
-    fac_mat: jax.Array
-    fac_vec: jax.Array
+    sol: jax.Array  # solution of W(rho) sol = rhs for the last attempt
     success: jax.Array
     nfact: jax.Array
 
@@ -169,6 +168,7 @@ class CaNNOLeSSolver:
         always_accept_extrapolation: bool = False,
         lm_damping: bool = False,
         block_size: int = 32,
+        kkt: str = "full",
         params: Optional[Params] = None,
         dtype=None,
     ):
@@ -177,6 +177,9 @@ class CaNNOLeSSolver:
         if linsolve not in AVAILABLE_LINSOLVE:
             raise ValueError(f"Can't handle linsolve={linsolve!r}")
         self.linsolve = linsolve
+        if kkt not in ("full", "condensed"):
+            raise ValueError(f"kkt must be 'full' or 'condensed', got {kkt!r}")
+        self.kkt = kkt
         self.problem = problem
         self.use_initial_multiplier = bool(use_initial_multiplier)
         self.always_accept_extrapolation = bool(always_accept_extrapolation)
@@ -217,6 +220,7 @@ class CaNNOLeSSolver:
             always_accept_extrapolation=self.always_accept_extrapolation,
             lm_damping=self.lm_damping,
             block_size=self.block_size,
+            kkt=self.kkt,
             params=self.params,
             dtype=self.dtype,
         )
@@ -268,6 +272,51 @@ class CaNNOLeSSolver:
             W = W.at[n + m :, n + m :].set(-delta * jnp.eye(p, dtype=dtype))
         return W
 
+    def _assemble_condensed(self, H, Jx, Jcx, delta):
+        """Schur-condensed KKT: eliminating the residual block dr through the
+        -I block (reference rows at CaNNOLeS.jl:304-306) gives the
+        (n+p)-square quasi-definite system
+
+            K = [H + JᵀJ   Jcᵀ]      b = [rhs_x + Jᵀ rhs_r]
+                [Jc        -δI ],         [rhs_c           ]
+
+        with identical inertia decisions (In(W) = In(K) + (0, m, 0) by the
+        Schur complement on the negative-definite -I block).  O((n+p)³)
+        factorization instead of O((n+m+p)³) — the BASELINE north-star form,
+        and the hot path for m ≫ n.  JᵀJ is one MXU matmul."""
+        pb = self.problem
+        n, p = pb.nvar, pb.ncon
+        dtype = H.dtype
+        M = H + Jx.T @ Jx
+        if p == 0:
+            return M
+        K = jnp.zeros((n + p, n + p), dtype=dtype)
+        K = K.at[:n, :n].set(M)
+        K = K.at[n:, :n].set(Jcx)
+        K = K.at[:n, n:].set(Jcx.T)
+        K = K.at[n:, n:].set(-delta * jnp.eye(p, dtype=dtype))
+        return K
+
+    def _attempt(self, W, rhs):
+        """One factorization attempt: returns (solution of W sol = rhs,
+        inertia-success flag).  Backend seam: blocked jnp LDLᵀ / eigh /
+        Pallas fused batched kernel (auto-selected under vmap)."""
+        pr = self.params
+        n = self.problem.nvar
+        if self.linsolve == "pallas":
+            from ..ops.pallas_ldlt import fused_ldlt_solve
+
+            sol, d = fused_ldlt_solve(W, rhs, pr.eig_tol, nb=self.block_size)
+            success = inertia_success(d, sol, n, pr.eig_tol)
+            return sol, success
+        if self.linsolve == "cpp":
+            from ..ops.cpp_ldlt import cpp_ldlt_factor_solve
+
+            return cpp_ldlt_factor_solve(W, rhs, n, pr.eig_tol)
+        fac, success = factorize(W, pr.eig_tol, n, self.linsolve, self.block_size)
+        sol = factor_solve(fac, rhs, pr.eig_tol, self.linsolve)
+        return sol, success
+
     def _newton_system(self, W0, rhs, rho_old):
         """Inertia-corrected factorize-and-solve with the reference's exact
         rho schedule (CaNNOLeS.jl:1008-1052): try rho=0; on inertia failure
@@ -275,15 +324,13 @@ class CaNNOLeSSolver:
         κlargeinc/κinc until success or rho > rho_max."""
         pb, pr = self.problem, self.params
         n = pb.nvar
-        N = W0.shape[0]
         dtype = W0.dtype
         diag_idx = jnp.arange(n)
 
-        def fact(rho):
-            W = W0.at[diag_idx, diag_idx].add(rho)
-            return factorize(W, pr.eig_tol, n, self.linsolve, self.block_size)
+        def attempt(rho):
+            return self._attempt(W0.at[diag_idx, diag_idx].add(rho), rhs)
 
-        fac0, success0 = fact(jnp.zeros((), dtype=dtype))
+        sol0, success0 = attempt(jnp.zeros((), dtype=dtype))
 
         def cond(c: _RhoCarry):
             return (~c.success) & (c.rho <= pr.rho_max)
@@ -299,14 +346,13 @@ class CaNNOLeSSolver:
             do = rho <= pr.rho_max
 
             def try_f(_):
-                f, s = fact(rho)
-                return f.mat, f.vec, s
+                return attempt(rho)
 
             def skip_f(_):
-                return c.fac_mat, c.fac_vec, jnp.zeros((), dtype=bool)
+                return c.sol, jnp.zeros((), dtype=bool)
 
-            mat, vec, success = lax.cond(do, try_f, skip_f, None)
-            return _RhoCarry(c.k + 1, rho, mat, vec, success, c.nfact + do.astype(jnp.int32))
+            sol, success = lax.cond(do, try_f, skip_f, None)
+            return _RhoCarry(c.k + 1, rho, sol, success, c.nfact + do.astype(jnp.int32))
 
         out = lax.while_loop(
             cond,
@@ -314,8 +360,7 @@ class CaNNOLeSSolver:
             _RhoCarry(
                 jnp.zeros((), jnp.int32),
                 jnp.zeros((), dtype),
-                fac0.mat,
-                fac0.vec,
+                sol0,
                 success0,
                 jnp.ones((), jnp.int32),
             ),
@@ -323,11 +368,7 @@ class CaNNOLeSSolver:
         rho_old_new = jnp.where(
             success0, rho_old, jnp.where(out.rho <= pr.rho_max, out.rho, rho_old)
         )
-        from ..ops.ldlt import Factorization
-
-        fac = Factorization(out.fac_mat, out.fac_vec)
-        sol = factor_solve(fac, rhs, pr.eig_tol, self.linsolve)
-        step = jnp.where(out.success, -sol, jnp.zeros_like(sol))
+        step = jnp.where(out.success, -out.sol, jnp.zeros_like(out.sol))
         return step, out.success, out.rho, rho_old_new, out.nfact
 
     def _merit(self, Fx, cx, lam, eta):
@@ -474,9 +515,20 @@ class CaNNOLeSSolver:
         # ---------------- inner loop ----------------
         def solve_system(s: SolverState) -> SolverState:
             H = self._H_block(s.x, s.lam, s.r, s.Fx, s.Jx, s.damp, s.data)
-            W0 = self._assemble_kkt(H, s.Jx, s.Jcx, s.delta)
-            rhs = jnp.concatenate([s.dual, s.primal])
-            d, success, rho, rho_old, nfacti = self._newton_system(W0, rhs, s.rho_old)
+            if self.kkt == "condensed":
+                rhs_r = s.primal[:m]
+                K0 = self._assemble_condensed(H, s.Jx, s.Jcx, s.delta)
+                b = jnp.concatenate([s.dual + s.Jx.T @ rhs_r, s.primal[m:]])
+                z, success, rho, rho_old, nfacti = self._newton_system(K0, b, s.rho_old)
+                dx = z[:n]
+                # recover the eliminated residual step: row 2 of the full
+                # system, J dx - dr = -rhs_r with d = -W⁻¹rhs conventions
+                dr = rhs_r + s.Jx @ dx
+                d = jnp.concatenate([dx, dr, z[n:]])
+            else:
+                W0 = self._assemble_kkt(H, s.Jx, s.Jcx, s.delta)
+                rhs = jnp.concatenate([s.dual, s.primal])
+                d, success, rho, rho_old, nfacti = self._newton_system(W0, rhs, s.rho_old)
             bad_d = check_nan_inf(d)
             # clamp the 1e60 guard to the dtype range (in Float32 the
             # reference's T(1e60) is Inf — same semantics)
@@ -840,6 +892,7 @@ def cannoles(
     *,
     method: str = "newton",
     linsolve: str = "ldlt",
+    kkt: str = "full",
     x=None,
     lam=None,
     use_initial_multiplier: bool = False,
@@ -855,6 +908,7 @@ def cannoles(
         problem,
         method=method,
         linsolve=linsolve,
+        kkt=kkt,
         use_initial_multiplier=use_initial_multiplier,
         always_accept_extrapolation=always_accept_extrapolation,
     )

@@ -101,6 +101,12 @@ def ldlt_factor(A: jax.Array, eig_tol: float, nb: int = 32) -> Factorization:
     if N == 0:
         return Factorization(jnp.zeros((0, 0), dtype), jnp.zeros((0,), dtype))
     nb = max(1, min(nb, N))
+    if nb >= N:
+        # single panel covers the matrix — no block assembly.  (Also avoids
+        # whole-array .at[0:N].set(), which stages a size-0 scatter-index
+        # constant that breaks custom_vmap batching inside while_loops.)
+        Lp, d = _panel_factor(A, eig_tol)
+        return Factorization(Lp, d)
     M = A
     L = jnp.zeros_like(A)
     d = jnp.zeros((N,), dtype=dtype)

@@ -74,8 +74,9 @@ def test_vsolve_sharded_over_mesh():
     datas = jnp.ones((B, 2))
     res = vsolve(pb, x0s, data_batch=datas, mesh=mesh, max_iter=100)
     assert res.solved_mask().all(), res.summary()
-    # all lanes share the same data ⇒ same solution
-    assert np.allclose(res.solution, res.solution[0], atol=1e-6)
+    # every lane must land on a first-order point satisfying the constraint
+    # (the problem has two basins; different x0 → possibly different basin)
+    assert np.allclose(res.solution.sum(axis=1), 1.0, atol=1e-6)
 
 
 def test_graft_entry_compiles():
