@@ -44,7 +44,9 @@ def main():
         name="bench_lm_family",
     )
 
-    solver = CaNNOLeSSolver(problem, method="lm", linsolve="ldlt", kkt="condensed", dtype=dtype)
+    # measured fastest config on-chip (see benchmarks/): full KKT + fused
+    # batched Pallas factor-solve kernel
+    solver = CaNNOLeSSolver(problem, method="lm", linsolve="pallas", kkt="full", dtype=dtype)
     cfg = solver.make_config(max_iter=50)
 
     B = 4096

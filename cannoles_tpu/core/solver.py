@@ -169,6 +169,7 @@ class CaNNOLeSSolver:
         lm_damping: bool = False,
         block_size: int = 32,
         kkt: str = "full",
+        debug_print: bool = False,
         params: Optional[Params] = None,
         dtype=None,
     ):
@@ -185,6 +186,8 @@ class CaNNOLeSSolver:
         self.always_accept_extrapolation = bool(always_accept_extrapolation)
         self.lm_damping = bool(lm_damping)
         self.block_size = int(block_size)
+        self.debug_print = bool(debug_print)
+        self.last_state: Optional[SolverState] = None
         self.dtype = jnp.dtype(dtype) if dtype is not None else jnp.asarray(problem.x0).dtype
         if not jnp.issubdtype(self.dtype, jnp.floating):
             self.dtype = jnp.dtype(jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
@@ -742,6 +745,15 @@ class CaNNOLeSSolver:
 
         s = lax.cond(small_residual & ~first_order, recheck, lambda s: s, s)
 
+        if self.debug_print:
+            # in-compiled-loop log row (reference column set, CaNNOLeS.jl:590)
+            jax.debug.print(
+                "iter={i} f={f:.3e} ‖∇L‖={nd:.2e} ‖c‖={np:.2e} α={a:.2e} "
+                "ρ={rho:.2e} δ={dl:.2e} in_it={ii} nbk={nbk}",
+                i=s.iter + 1, f=s.fx, nd=s.normdual, np=s.normprimal,
+                a=s.alpha, rho=s.rho, dl=s.delta, ii=s.inner_iter, nbk=s.nbk,
+            )
+
         iter_n = s.iter + 1
         status = get_status_code(
             optimal=s.first_order,
@@ -807,6 +819,7 @@ class CaNNOLeSSolver:
         max_time: float = 30.0,
         verbose: int = 0,
         stats: Optional[ExecutionStats] = None,
+        resume_from: Optional[SolverState] = None,
         **numeric,
     ) -> ExecutionStats:
         """Host-driven solve: jitted outer steps, host-side wall-clock limit,
@@ -823,7 +836,12 @@ class CaNNOLeSSolver:
         stats = stats or ExecutionStats()
         stats.status = "unknown"
 
-        state = self._init_fn(x0, lam0, cfg, self.problem.data)
+        if resume_from is not None:
+            # checkpoint/resume: continue a saved run — tolerances ride the
+            # state, so stopping criteria are preserved across sessions
+            state = resume_from._replace(status=jnp.zeros((), jnp.int32))
+        else:
+            state = self._init_fn(x0, lam0, cfg, self.problem.data)
         self._sync_stats(state, stats, time.time() - t0)
         if verbose > 0:
             self._log_header()
@@ -845,6 +863,10 @@ class CaNNOLeSSolver:
             done = stats.status != "unknown"
 
         self._finalize_stats(state, stats)
+        self.last_state = state
+        # accumulate onto the model-level counters (NLPModels parity)
+        pb.counters.neval_residual += int(state.neval_F)
+        pb.counters.neval_cons += int(state.neval_c)
         return stats
 
     def _sync_stats(self, s: SolverState, stats: ExecutionStats, elapsed: float):

@@ -99,6 +99,9 @@ class NLSProblem:
     hess_residual_weighted: Optional[Callable] = None  # (x, r, data) -> (n, n)
     jac_cons: Optional[Callable] = None
     hess_cons_weighted: Optional[Callable] = None  # (x, y, data) -> (n, n)
+    # mutable evaluation counters (NLSCounters analog); the solver adds its
+    # traced in-state counts here after each solve
+    counters: Counters = dataclasses.field(default_factory=Counters, compare=False)
 
     # ---- validation (reference cannoles() guards, CaNNOLeS.jl:408-413) ----
     def validate_for_solve(self):

@@ -1,0 +1,75 @@
+"""Auxiliary subsystems: checkpoint/resume, profiling, compiled-loop
+logging (SURVEY.md §5 — all new capability vs the reference)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from cannoles_tpu import CaNNOLeSSolver, nls_problem
+from cannoles_tpu.utils.checkpoint import load_state, save_state
+from cannoles_tpu.utils.profiling import stage_timings
+
+
+def _problem():
+    return nls_problem(
+        lambda x: jnp.array([x[0] - 1, 10 * (x[1] - x[0] ** 2)]),
+        jnp.array([-1.2, 1.0]),
+        2,
+        lambda x: jnp.array([x[0] + x[1] - 1]),
+        [0.0],
+        [0.0],
+    )
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    pb = _problem()
+    solver = CaNNOLeSSolver(pb)
+    # stop early via max_iter, checkpoint, resume, and finish
+    stats1 = solver.solve(max_iter=2)
+    assert stats1.status == "max_iter"
+    ckpt = tmp_path / "state.npz"
+    save_state(ckpt, solver.last_state)
+    restored = load_state(ckpt)
+    for name in ("x", "lam", "delta", "epstol", "iter", "nfact"):
+        assert np.allclose(
+            np.asarray(getattr(restored, name)),
+            np.asarray(getattr(solver.last_state, name)),
+        ), name
+
+    stats2 = solver.solve(resume_from=restored)
+    assert stats2.status == "first_order"
+    assert np.allclose(stats2.solution, [0.6188, 0.3812], atol=1e-4)
+    # resumed run continued from iter 2, and matches a straight-through solve
+    straight = CaNNOLeSSolver(pb).solve()
+    assert stats2.iter == straight.iter
+    assert np.allclose(stats2.solution, straight.solution, atol=1e-10)
+
+
+def test_checkpoint_with_data(tmp_path):
+    def residual(x, d):
+        return jnp.array([x[0] - d[0], 10 * (x[1] - x[0] ** 2)])
+
+    pb = nls_problem(residual, jnp.array([-1.2, 1.0]), 2, data=jnp.array([2.0]))
+    solver = CaNNOLeSSolver(pb)
+    solver.solve(max_iter=1)
+    ckpt = tmp_path / "s.npz"
+    save_state(ckpt, solver.last_state)
+    restored = load_state(ckpt, data_template=pb.data)
+    assert np.allclose(np.asarray(restored.data), [2.0])
+    stats = solver.solve(resume_from=restored)
+    assert stats.status == "first_order"
+    assert np.allclose(stats.solution, [2.0, 4.0], atol=1e-6)
+
+
+def test_stage_timings():
+    solver = CaNNOLeSSolver(_problem())
+    t = stage_timings(solver, reps=2)
+    assert set(t) == {"init", "outer_step", "newton_system"}
+    assert all(v > 0 for v in t.values())
+
+
+def test_debug_print_mode(capfd):
+    solver = CaNNOLeSSolver(_problem(), debug_print=True)
+    stats = solver.solve()
+    assert stats.status == "first_order"
+    out = capfd.readouterr().out
+    assert "‖∇L‖" in out and "iter=" in out
