@@ -333,10 +333,11 @@ class CaNNOLeSSolver:
         def attempt(rho):
             return self._attempt(W0.at[diag_idx, diag_idx].add(rho), rhs)
 
-        sol0, success0 = attempt(jnp.zeros((), dtype=dtype))
-
+        # The rho=0 attempt is folded into the retry loop (k == 0) so the
+        # factorization is staged ONCE in the compiled graph — at large N
+        # this halves XLA compile time of the Newton system.
         def cond(c: _RhoCarry):
-            return (~c.success) & (c.rho <= pr.rho_max)
+            return (c.k == 0) | ((~c.success) & (c.rho <= pr.rho_max))
 
         def body(c: _RhoCarry):
             first_rho = jnp.where(
@@ -345,7 +346,11 @@ class CaNNOLeSSolver:
                 jnp.maximum(jnp.asarray(pr.rho_min, dtype), pr.kappa_dec * rho_old),
             )
             inc = jnp.where(rho_old == 0, pr.kappa_large_inc, pr.kappa_inc)
-            rho = jnp.where(c.k == 0, first_rho, c.rho * inc)
+            rho = jnp.where(
+                c.k == 0,
+                jnp.zeros((), dtype),
+                jnp.where(c.k == 1, first_rho, c.rho * inc),
+            )
             do = rho <= pr.rho_max
 
             def try_f(_):
@@ -357,19 +362,22 @@ class CaNNOLeSSolver:
             sol, success = lax.cond(do, try_f, skip_f, None)
             return _RhoCarry(c.k + 1, rho, sol, success, c.nfact + do.astype(jnp.int32))
 
+        N = W0.shape[0]
         out = lax.while_loop(
             cond,
             body,
             _RhoCarry(
                 jnp.zeros((), jnp.int32),
                 jnp.zeros((), dtype),
-                sol0,
-                success0,
-                jnp.ones((), jnp.int32),
+                jnp.zeros((N,), dtype),
+                jnp.zeros((), dtype=bool),
+                jnp.zeros((), jnp.int32),
             ),
         )
         rho_old_new = jnp.where(
-            success0, rho_old, jnp.where(out.rho <= pr.rho_max, out.rho, rho_old)
+            out.rho == 0,
+            rho_old,
+            jnp.where(out.rho <= pr.rho_max, out.rho, rho_old),
         )
         step = jnp.where(out.success, -out.sol, jnp.zeros_like(out.sol))
         return step, out.success, out.rho, rho_old_new, out.nfact

@@ -90,6 +90,65 @@ def _panel_factor(P: jax.Array, eig_tol: float) -> Tuple[jax.Array, jax.Array]:
     return Lp, d
 
 
+def _ldlt_factor_looped(A: jax.Array, eig_tol: float, nb: int) -> Factorization:
+    """Compile-light blocked LDLᵀ for large N: a single ``lax.fori_loop``
+    over uniform nb-wide panels (N padded to a multiple of nb), with the
+    working matrix held in place (strict L below the diagonal, pivots on the
+    diagonal).  Same pivot-skip semantics as the static-loop version; the
+    trailing update is one masked (N, nb)x(nb, N) matmul per panel (MXU).
+
+    The static-loop variant unrolls O(N/nb) panels into the graph — at
+    N ≈ 1000 that cost ~5 min of XLA compile; this version's graph is one
+    panel body."""
+    N0 = A.shape[-1]
+    dtype = A.dtype
+    N = -(-N0 // nb) * nb
+    if N != N0:
+        # pad with identity so the extra pivots are 1 (ignored by caller)
+        P = jnp.eye(N, dtype=dtype)
+        A = P.at[:N0, :N0].set(A)
+    rows = jnp.arange(N)
+
+    def panel_body(k, M):
+        j0 = k * nb
+
+        def col_body(t, carry):
+            M, j0 = carry
+            j = j0 + t
+            col = lax.dynamic_slice_in_dim(M, j, 1, axis=1)[:, 0]  # (N,)
+            dj = col[j]
+            ok = jnp.abs(dj) > eig_tol
+            inv = jnp.where(ok, 1.0 / jnp.where(ok, dj, 1.0), 0.0)
+            lcol = jnp.where(rows > j, col * inv, 0.0)
+            # write strict L column + keep the pivot on the diagonal
+            newcol = lcol + jnp.where(rows == j, dj, 0.0)
+            M = lax.dynamic_update_slice_in_dim(M, newcol[:, None], j, axis=1)
+            # rank-1 update of the remaining columns of this panel only:
+            # columns j+1 .. j0+nb-1.  Use a full-width masked outer product
+            # (columns outside the panel are updated later by the panel's
+            # trailing matmul).
+            colmask = (rows > j) & (rows < j0 + nb)
+            M = M - dj * lcol[:, None] * jnp.where(colmask, lcol, 0.0)[None, :]
+            return M, j0
+
+        M, _ = lax.fori_loop(0, nb, col_body, (M, j0))
+        # trailing update: B = strict-L rows below the panel
+        panel = lax.dynamic_slice(M, (0, j0), (N, nb))  # (N, nb)
+        j1 = j0 + nb
+        B = jnp.where(rows[:, None] >= j1, panel, 0.0)
+        dpan = jnp.diagonal(lax.dynamic_slice(M, (j0, j0), (nb, nb)))
+        M = M - B @ (B * dpan[None, :]).T
+        return M
+
+    M = lax.fori_loop(0, N // nb, panel_body, A)
+    d = jnp.diagonal(M)
+    L = jnp.tril(M, -1) + jnp.eye(N, dtype=dtype)
+    if N != N0:
+        L = L[:N0, :N0]
+        d = d[:N0]
+    return Factorization(L, d)
+
+
 def ldlt_factor(A: jax.Array, eig_tol: float, nb: int = 32) -> Factorization:
     """Unpivoted blocked LDLᵀ of a symmetric (N, N) matrix (lower part used).
 
@@ -100,6 +159,8 @@ def ldlt_factor(A: jax.Array, eig_tol: float, nb: int = 32) -> Factorization:
     dtype = A.dtype
     if N == 0:
         return Factorization(jnp.zeros((0, 0), dtype), jnp.zeros((0,), dtype))
+    if N >= 256:
+        return _ldlt_factor_looped(A, eig_tol, max(nb, 128))
     nb = max(1, min(nb, N))
     if nb >= N:
         # single panel covers the matrix — no block assembly.  (Also avoids
