@@ -20,12 +20,12 @@ import numpy as np
 
 def main():
     from cannoles_tpu import CaNNOLeSSolver, nls_problem
-    from cannoles_tpu.parallel.batch import BatchResult
+    from cannoles_tpu.parallel.batch import vsolve
 
     dtype = jnp.float32
 
     # Constrained curve-fit family: per-instance data shifts the residual and
-    # the constraint, so the batch is a genuine 100k-instance sweep, not one
+    # the constraint, so the batch is a genuine instance sweep, not one
     # problem replicated.
     def residual(x, d):
         return jnp.array([x[0] - d[0], 10 * (x[1] - x[0] ** 2) - d[1]])
@@ -44,15 +44,13 @@ def main():
         name="bench_lm_family",
     )
 
-    # measured fastest config on-chip (see benchmarks/): full KKT + fused
-    # batched Pallas factor-solve kernel
+    # measured fastest on-chip: full KKT + fused batched Pallas factor-solve,
+    # sequential 4096-chunks for straggler control
     solver = CaNNOLeSSolver(problem, method="lm", linsolve="pallas", kkt="full", dtype=dtype)
-    cfg = solver.make_config(max_iter=50)
 
-    B = 4096
+    B, CHUNK = 16384, 4096
     rng = np.random.default_rng(0)
     x0s = jnp.asarray(rng.normal(scale=0.5, size=(B, 2)) + [-1.2, 1.0], dtype=dtype)
-    lam0s = jnp.zeros((B, 1), dtype=dtype)
     datas = jnp.asarray(
         np.stack(
             [
@@ -65,24 +63,22 @@ def main():
         dtype=dtype,
     )
 
-    run = jax.jit(jax.vmap(solver._run_compiled, in_axes=(0, 0, None, 0)))
+    def once():
+        r = vsolve(problem, x0s, data_batch=datas, solver=solver, max_iter=50, chunk_size=CHUNK)
+        jax.block_until_ready(r.states.x)
+        return r
 
-    # warmup / compile
-    states = run(x0s, lam0s, cfg, datas)
-    jax.block_until_ready(states.x)
-
+    res = once()  # warmup / compile
     reps = 3
     t0 = time.perf_counter()
     for _ in range(reps):
-        states = run(x0s, lam0s, cfg, datas)
-        jax.block_until_ready(states.x)
+        res = once()
     dt = (time.perf_counter() - t0) / reps
 
-    res = BatchResult(states=states)
     summ = res.summary()
     value = B / dt
     print(
-        f"# devices={jax.devices()} B={B} time/solve-batch={dt:.4f}s "
+        f"# devices={jax.devices()} B={B} chunk={CHUNK} time/solve-batch={dt:.4f}s "
         f"solved={summ['solved']}/{B} mean_iter={summ['mean_iter']:.1f}",
         file=sys.stderr,
     )

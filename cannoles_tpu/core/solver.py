@@ -26,7 +26,7 @@ static-shaped so XLA tiles the O(N³) factorization and O(mn²) AD onto the MXU.
 from __future__ import annotations
 
 import time
-from functools import partial
+
 from typing import Any, Callable, NamedTuple, Optional
 
 import jax
@@ -201,6 +201,45 @@ class CaNNOLeSSolver:
         self._init_fn = jax.jit(self._init_state)
         self._outer_fn = jax.jit(self._outer_step)
         self._run_fn = jax.jit(self._run_compiled)
+        self._batch_runners: dict = {}
+
+    def batch_runner(self, data_batched: bool, batch_shape=None):
+        """Cached jitted batched runner: ``run(x0s, lam0s, cfg, datas)``.
+
+        ``batch_shape = (B, chunk)`` enables sequential-chunk execution
+        (straggler control + much smaller compile); None = one flat vmap.
+        Cached per signature so repeated vsolve calls never re-trace."""
+        key = (bool(data_batched), batch_shape)
+        if key in self._batch_runners:
+            return self._batch_runners[key]
+        vrun = jax.vmap(
+            self._run_compiled, in_axes=(0, 0, None, 0 if data_batched else None)
+        )
+        if batch_shape is None:
+            run = jax.jit(vrun)
+        else:
+            B, chunk = batch_shape
+            nchunk = B // chunk
+
+            def _split(a):
+                return a.reshape((nchunk, chunk) + a.shape[1:])
+
+            @jax.jit
+            def run(x0s, l0s, cfg, datas):
+                xr, lr = _split(x0s), _split(l0s)
+                dr = None if datas is None else jax.tree.map(_split, datas)
+
+                def chunk_fn(args):
+                    xc, lc, dc = args
+                    return vrun(xc, lc, cfg, dc)
+
+                states = lax.map(chunk_fn, (xr, lr, dr))
+                return jax.tree.map(
+                    lambda a: a.reshape((B,) + a.shape[2:]), states
+                )
+
+        self._batch_runners[key] = run
+        return run
 
     def reset(self, problem: Optional[NLSProblem] = None) -> "CaNNOLeSSolver":
         """Re-solve support (reference SolverCore.reset!, CaNNOLeS.jl:379-400):

@@ -33,7 +33,7 @@ factorizations (HSL MA57 and LDLFactorizations.jl,
 
 from __future__ import annotations
 
-from functools import partial
+
 from typing import NamedTuple, Tuple
 
 import jax

@@ -155,7 +155,17 @@ def _make_fused(eig_tol: float, nb: int):
             W = jnp.broadcast_to(W, (axis_size,) + W.shape)
         if not rhs_b:
             rhs = jnp.broadcast_to(rhs, (axis_size,) + rhs.shape)
-        x, d = batched_ldlt_solve_pallas(W, rhs, eig_tol)
+        N = W.shape[-1]
+        # VMEM budget: the kernel holds ~2 x (N, N, 128) f32 blocks on-chip;
+        # beyond N ~ 96 fall back to the vmapped blocked-jnp path
+        if N > 96:
+            def one(Wi, ri):
+                fac = ldlt_factor(Wi, eig_tol, nb=nb)
+                return ldlt_solve(fac, ri, eig_tol), fac.vec
+
+            x, d = jax.vmap(one)(W, rhs)
+        else:
+            x, d = batched_ldlt_solve_pallas(W, rhs, eig_tol)
         return (x, d), (True, True)
 
     return fused

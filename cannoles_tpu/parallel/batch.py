@@ -94,6 +94,7 @@ def vsolve(
     linsolve: str = "ldlt",
     mesh: Optional[Mesh] = None,
     max_iter: int = 100,
+    chunk_size: Optional[int] = None,
     **numeric,
 ) -> BatchResult:
     """Solve a batch of instances of one problem family in a single compiled
@@ -114,11 +115,12 @@ def vsolve(
         )
     cfg = solver.make_config(max_iter=max_iter, **numeric)
 
-    run = jax.jit(
-        jax.vmap(
-            solver._run_compiled,
-            in_axes=(0, 0, None, None if data_batch is None else 0),
-        )
+    use_chunks = (
+        chunk_size is not None and mesh is None and B % chunk_size == 0 and B > chunk_size
+    )
+    run = solver.batch_runner(
+        data_batched=data_batch is not None,
+        batch_shape=(B, chunk_size) if use_chunks else None,
     )
 
     if mesh is not None:
