@@ -601,55 +601,54 @@ class CaNNOLeSSolver:
                 msg=jnp.where(s.msg == 0, msg, s.msg),
             )
 
-        def extrapolation(s: SolverState):
-            """First inner iteration: full Newton step, no line search
-            (CaNNOLeS.jl:659-670)."""
+        def trial_step(s: SolverState):
+            """Unified extrapolation / Armijo line-search step.
+
+            The reference branches between a plain full-Newton extrapolation
+            on the first inner iteration (CaNNOLeS.jl:659-670) and Armijo
+            backtracking afterwards (:672-702, :1054-1112).  Both start from
+            the SAME α=1 trial evaluation, so here they are one arithmetic
+            path with per-lane masks: under vmap this executes ONE residual
+            evaluation (+ per-lane backtracks) per inner iteration instead of
+            both cond branches (3 evaluations).  Semantics are identical for
+            scalar solves."""
+            is_extrap = s.inner_iter == 0
             dx = s.d[:n]
             dr = s.d[n : n + m]
-            epsk = jnp.maximum(
-                jnp.minimum(jnp.asarray(1e3, dtype) * s.delta, 0.99 * s.epsk), 0.9 * s.epsk
-            )
-            xt = s.x + dx
-            rt = s.r + dr
-            ndl = norm_2(s.dlam)
-            Mdl = jnp.asarray(MAX_DLAMBDA, dtype)
-            dlam = jnp.where(ndl > Mdl, s.dlam * (Mdl / jnp.where(ndl > 0, ndl, 1.0)), s.dlam)
-            lamt = s.lam + dlam
-            Ft = pb.F(xt, data)
-            ct = pb.c_shifted(xt, data)
-            alpha = jnp.zeros((), dtype=dtype)
-            nF_add = jnp.ones((), jnp.int32)
-            nc_add = jnp.asarray(1 if p > 0 else 0, jnp.int32)
-            return (
-                xt, rt, lamt, Ft, ct, alpha, s.eta, epsk, dlam,
-                jnp.zeros((), jnp.int32), nF_add, nc_add,
-                jnp.zeros((), dtype=bool), jnp.zeros((), jnp.int32),
+
+            # ϵk update happens on extrapolation iterations only (:660)
+            epsk = jnp.where(
+                is_extrap,
+                jnp.maximum(
+                    jnp.minimum(jnp.asarray(1e3, dtype) * s.delta, 0.99 * s.epsk),
+                    0.9 * s.epsk,
+                ),
+                s.epsk,
             )
 
-        def line_search(s: SolverState):
-            """Armijo backtracking on the aug-Lag merit, α ← α/4
-            (CaNNOLeS.jl:1054-1112)."""
-            dx = s.d[:n]
-            eta = jnp.asarray(1.0, dtype) / s.delta if p > 0 else s.eta
+            # line-search slope / merit pieces (unused by extrapolation lanes)
+            eta_ls = jnp.asarray(1.0, dtype) / s.delta if p > 0 else s.eta
             JxtFx = s.Jx.T @ s.Fx
             if p > 0:
                 w = s.lam - s.cx / s.delta
                 Dphi = jnp.vdot(JxtFx, dx) - jnp.vdot(dx, s.Jcx.T @ w)
             else:
                 Dphi = jnp.vdot(JxtFx, dx)
-            not_descent = Dphi >= 0  # reference asserts Dϕ < 0 (:1085)
-
-            phix = self._merit(s.Fx, s.cx, s.lam, eta)
-            xt0 = s.x + dx
-            Ft0 = pb.F(xt0, data)
-            ct0 = pb.c_shifted(xt0, data)
-            phit0 = self._merit(Ft0, ct0, s.lam, eta)
+            not_descent = (Dphi >= 0) & (~is_extrap)  # reference asserts (:1085)
+            phix = self._merit(s.Fx, s.cx, s.lam, eta_ls)
             gammaA = jnp.asarray(pr.gamma_A, dtype)
             eps2 = jnp.asarray(float(jnp.finfo(dtype).eps) ** 2, dtype)
 
+            # shared α = 1 trial evaluation
+            xt0 = s.x + dx
+            Ft0 = pb.F(xt0, data)
+            ct0 = pb.c_shifted(xt0, data)
+            phit0 = self._merit(Ft0, ct0, s.lam, eta_ls)
+
             def ls_cond(c):
                 alpha, xt, Ft, ct, phit, nbk, fail = c
-                return (phit > phix + gammaA * alpha * Dphi) & (~fail) & (~not_descent)
+                need = phit > phix + gammaA * alpha * Dphi
+                return need & (~fail) & (~not_descent) & (~is_extrap)
 
             def ls_body(c):
                 alpha, xt, Ft, ct, phit, nbk, fail = c
@@ -657,7 +656,7 @@ class CaNNOLeSSolver:
                 xt = s.x + alpha * dx
                 Ft = pb.F(xt, data)
                 ct = pb.c_shifted(xt, data)
-                phit = self._merit(Ft, ct, s.lam, eta)
+                phit = self._merit(Ft, ct, s.lam, eta_ls)
                 fail = alpha < eps2  # reference errors "α too small" (:1106-1108)
                 return (alpha, xt, Ft, ct, phit, nbk + 1, fail)
 
@@ -667,14 +666,28 @@ class CaNNOLeSSolver:
                 (jnp.ones((), dtype=dtype), xt0, Ft0, ct0, phit0,
                  jnp.zeros((), jnp.int32), jnp.zeros((), dtype=bool)),
             )
-            rt = Ft
-            lamt = s.lam - s.cx / s.delta if p > 0 else s.lam  # (:702)
+
+            # extrapolation lanes: rt = r + dr, λt = λ + clip(dλ) (:662-668)
+            ndl = norm_2(s.dlam)
+            Mdl = jnp.asarray(MAX_DLAMBDA, dtype)
+            dlam = jnp.where(
+                is_extrap & (ndl > Mdl),
+                s.dlam * (Mdl / jnp.where(ndl > 0, ndl, 1.0)),
+                s.dlam,
+            )
+            rt = jnp.where(is_extrap, s.r + dr, Ft)
+            if p > 0:
+                lamt = jnp.where(is_extrap, s.lam + dlam, s.lam - s.cx / s.delta)
+            else:
+                lamt = s.lam
+            alpha_out = jnp.where(is_extrap, jnp.zeros((), dtype), alpha)
+            eta = jnp.where(is_extrap, s.eta, eta_ls)
             nF_add = 1 + nbk
             nc_add = (1 + nbk) if p > 0 else jnp.zeros((), jnp.int32)
             ls_broken = not_descent | fail
             ls_msg = jnp.where(not_descent, 5, jnp.where(fail, 6, 0)).astype(jnp.int32)
             return (
-                xt, rt, lamt, Ft, ct, alpha, eta, s.epsk, s.dlam,
+                xt, rt, lamt, Ft, ct, alpha_out, eta, epsk, dlam,
                 nbk, nF_add, jnp.asarray(nc_add, jnp.int32), ls_broken, ls_msg,
             )
 
@@ -697,9 +710,7 @@ class CaNNOLeSSolver:
 
             def when_ok(_):
                 (xt, rt, lamt, Ft, ct, alpha, eta, epsk, dlam,
-                 nbk_add, nF_add, nc_add, ls_broken, ls_msg) = lax.cond(
-                    s.inner_iter == 0, extrapolation, line_search, s
-                )
+                 nbk_add, nF_add, nc_add, ls_broken, ls_msg) = trial_step(s)
 
                 damp = s.damp
                 if self.method == "lm":
