@@ -27,6 +27,12 @@ def main():
     ap.add_argument("--kkt", default="full")
     ap.add_argument("--linsolve", default="ldlt")
     ap.add_argument("--max-time", type=float, default=60.0)
+    ap.add_argument(
+        "--constrained",
+        action="store_true",
+        help="run MGH problems with the reference test constraints attached "
+        "(runtests.jl:82-100 style): sum(x)=1 over a curated subset",
+    )
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
 
@@ -38,8 +44,26 @@ def main():
     from cannoles_tpu import CaNNOLeSSolver
     from cannoles_tpu.models.mgh import mgh_suite
 
+    suite = mgh_suite()
+    if args.constrained:
+        from cannoles_tpu.models.basic import constrained
+
+        CURATED = {
+            "rosenbrock", "beale", "helical_valley", "powell_singular", "wood",
+            "ext_rosenbrock", "ext_powell", "broyden_tridiagonal",
+            "broyden_banded", "brown_almost_linear", "variably_dimensioned",
+            "trigonometric", "discrete_boundary_value", "chebyquad",
+        }
+        from cannoles_tpu.models.mgh import MGHSpec
+
+        suite = [
+            MGHSpec(s.name + "+linear", (lambda s=s: constrained(s.make(), "linear")), None)
+            for s in suite
+            if s.name in CURATED
+        ]
+
     rows = []
-    for spec in mgh_suite():
+    for spec in suite:
         pb = spec.make()
         t0 = time.time()
         try:

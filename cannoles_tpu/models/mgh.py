@@ -387,10 +387,15 @@ def chebyquad(n=7):  # 35 (m = n)
     ieven = jnp.arange(1, n + 1) % 2 == 0
     integrals = jnp.where(ieven, -1.0 / (jnp.arange(1, n + 1) ** 2 - 1.0), 0.0)
     def F(x):
-        # shifted Chebyshev T*_i(x) = cos(i * arccos(2x-1)) on [0,1]
-        z = jnp.clip(2 * x - 1, -1.0, 1.0)
-        i = jnp.arange(1.0, n + 1)
-        T = jnp.cos(i[:, None] * jnp.arccos(z)[None, :])  # (n_poly, n_points)
+        # shifted Chebyshev on [0,1] via the three-term recurrence — smooth
+        # polynomials on all of R (the arccos form has infinite derivatives
+        # at the interval ends, which breaks AD once constraints push x
+        # outside [0,1])
+        z = 2 * x - 1
+        Ts = [z, 2 * z * z - 1]
+        for _ in range(2, n):
+            Ts.append(2 * z * Ts[-1] - Ts[-2])
+        T = jnp.stack(Ts[:n])  # (n_poly, n_points)
         return T.mean(axis=1) - integrals
     return _p(F, j / (n + 1), n, f"mgh35_chebyquad_{n}")
 
