@@ -49,13 +49,18 @@ __all__ = [
     "AVAILABLE_METHODS",
     "AVAILABLE_LINSOLVE",
     "vsolve",
+    "multistart",
 ]
 
 
 def __getattr__(name):
-    # lazy import to avoid cycles; vsolve lives in parallel.batch
+    # lazy imports to avoid cycles
     if name == "vsolve":
         from .parallel.batch import vsolve
 
         return vsolve
+    if name == "multistart":
+        from .parallel.multistart import multistart
+
+        return multistart
     raise AttributeError(name)
