@@ -62,7 +62,7 @@ def main():
         print(f"sharded: compile+run={tc:.1f}s run={tr:.3f}s status={stats.status} iters={stats.iter}")
         return
 
-    s = CaNNOLeSSolver(pb, method="gauss_newton", kkt="condensed", block_size=128, dtype=dtype)
+    s = CaNNOLeSSolver(pb, method="gauss_newton", kkt="condensed", linsolve="chol", block_size=128, dtype=dtype)
     cfg = s.make_config(max_iter=30)
     t0 = time.perf_counter()
     st = s._run_fn(pb.x0, pb.y0, cfg, pb.data)

@@ -59,7 +59,7 @@ _METHOD_ALIASES = {
     "newton_nofhess": "gauss_newton",
     "Newton_vanishing": "newton_vanishing",
 }
-AVAILABLE_LINSOLVE = ("ldlt", "eigh", "pallas", "cpp")
+AVAILABLE_LINSOLVE = ("ldlt", "eigh", "pallas", "cpp", "chol")
 _LINSOLVE_ALIASES = {"ldlfactorizations": "ldlt", "ma57": "eigh", "pallas_ldl": "pallas"}
 
 
@@ -181,6 +181,11 @@ class CaNNOLeSSolver:
         if kkt not in ("full", "condensed"):
             raise ValueError(f"kkt must be 'full' or 'condensed', got {kkt!r}")
         self.kkt = kkt
+        if linsolve == "chol" and kkt != "condensed":
+            raise ValueError(
+                "linsolve='chol' requires kkt='condensed' (the full KKT system "
+                "is indefinite in the residual block)"
+            )
         self.problem = problem
         self.use_initial_multiplier = bool(use_initial_multiplier)
         self.always_accept_extrapolation = bool(always_accept_extrapolation)
@@ -355,6 +360,37 @@ class CaNNOLeSSolver:
             from ..ops.cpp_ldlt import cpp_ldlt_factor_solve
 
             return cpp_ldlt_factor_solve(W, rhs, n, pr.eig_tol)
+        if self.linsolve == "chol":
+            # Two-level Cholesky on the condensed quasi-definite system
+            # K = [M Jcᵀ; Jc -δI]: In(K) = (n, p, 0) ⟺ M ≻ 0 (the Schur
+            # block -δI - Jc M⁻¹Jcᵀ is then automatically negative
+            # definite), so success == Cholesky(M) finite with pivots
+            # above eig_tol — the same inertia criterion, evaluated by
+            # XLA's native blocked Cholesky (speed-of-light on the MXU,
+            # vs the latency-bound column-sequential LDLᵀ).
+            from jax.scipy.linalg import cho_solve, solve_triangular as _st
+
+            p = self.problem.ncon
+            M = W[:n, :n]
+            Lm = jnp.linalg.cholesky(M)
+            dlm = jnp.diagonal(Lm)
+            okM = jnp.all(jnp.isfinite(Lm)) & jnp.all(dlm * dlm > pr.eig_tol)
+            bx = rhs[:n]
+            if p == 0:
+                sol = cho_solve((Lm, True), bx)
+                return sol, okM & jnp.all(jnp.isfinite(sol))
+            Jc = W[n:, :n]
+            delta = -W[n, n]  # the (2,2) block is -δI (rho touches only x-diag)
+            bc = rhs[n:]
+            Z = _st(Lm, Jc.T, lower=True)  # (n, p)
+            S = delta * jnp.eye(p, dtype=W.dtype) + Z.T @ Z
+            Ls = jnp.linalg.cholesky(S)
+            okS = jnp.all(jnp.isfinite(Ls))
+            Minv_bx = cho_solve((Lm, True), bx)
+            zl = cho_solve((Ls, True), Jc @ Minv_bx - bc)
+            zx = cho_solve((Lm, True), bx - Jc.T @ zl)
+            sol = jnp.concatenate([zx, zl])
+            return sol, okM & okS & jnp.all(jnp.isfinite(sol))
         fac, success = factorize(W, pr.eig_tol, n, self.linsolve, self.block_size)
         sol = factor_solve(fac, rhs, pr.eig_tol, self.linsolve)
         return sol, success

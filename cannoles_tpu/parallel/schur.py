@@ -49,7 +49,7 @@ def solve_row_sharded(
     lam0=None,
     solver: Optional[CaNNOLeSSolver] = None,
     method: str = "gauss_newton",
-    linsolve: str = "ldlt",
+    linsolve: str = "chol",
     max_iter: int = 200,
     **numeric,
 ) -> ExecutionStats:
