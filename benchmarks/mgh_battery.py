@@ -27,6 +27,8 @@ def main():
     ap.add_argument("--kkt", default="full")
     ap.add_argument("--linsolve", default="ldlt")
     ap.add_argument("--max-time", type=float, default=60.0)
+    ap.add_argument("--extended", action="store_true",
+                    help="append 20 dimensional variants from the MGH paper")
     ap.add_argument(
         "--constrained",
         action="store_true",
@@ -44,7 +46,7 @@ def main():
     from cannoles_tpu import CaNNOLeSSolver
     from cannoles_tpu.models.mgh import mgh_suite
 
-    suite = mgh_suite()
+    suite = mgh_suite(extended=args.extended)
     if args.constrained:
         from cannoles_tpu.models.basic import constrained
 

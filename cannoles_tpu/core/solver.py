@@ -171,6 +171,7 @@ class CaNNOLeSSolver:
         kkt: str = "full",
         debug_print: bool = False,
         params: Optional[Params] = None,
+        delta_min: Optional[float] = None,
         dtype=None,
     ):
         self.method = _check_available_method(method)
@@ -196,7 +197,14 @@ class CaNNOLeSSolver:
         self.dtype = jnp.dtype(dtype) if dtype is not None else jnp.asarray(problem.x0).dtype
         if not jnp.issubdtype(self.dtype, jnp.floating):
             self.dtype = jnp.dtype(jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
-        self.params = params or Params.for_dtype(self.dtype)
+        if params is None:
+            overrides = {} if delta_min is None else {"delta_min": float(delta_min)}
+            # A floor above the default sqrt(eps) tames the aug-Lagrangian
+            # multiplier update λ ← λ − c/δ on near-degenerate constrained
+            # problems (e.g. HS27 solves with delta_min=1e-4 where the
+            # reference schedule thrashes); default keeps reference parity.
+            params = Params.for_dtype(self.dtype, **overrides)
+        self.params = params
         if self.method in ("newton", "newton_vanishing") and not problem.has_residual_hessian:
             raise NotImplementedError(
                 f"problem '{problem.name}' provides no residual Hessian; "

@@ -444,11 +444,38 @@ _SUITE: List[MGHSpec] = [
 MGH_NAMES = [spec.name for spec in _SUITE]
 _BY_NAME: Dict[str, MGHSpec] = {s.name: s for s in _SUITE}
 
+# dimensional variants from the MGH paper's tables (battery breadth)
+_EXTENDED: List[MGHSpec] = [
+    MGHSpec("watson_9", lambda: watson(9), 1.39976e-6),
+    MGHSpec("watson_12", lambda: watson(12), 4.72238e-10),
+    MGHSpec("penalty1_4", lambda: penalty1(4), 2.24997e-5),
+    MGHSpec("penalty2_4", lambda: penalty2(4), 9.37629e-6),
+    MGHSpec("chebyquad_8", lambda: chebyquad(8), 3.51687e-3),
+    MGHSpec("chebyquad_9", lambda: chebyquad(9), 0.0),
+    MGHSpec("ext_rosenbrock_50", lambda: extended_rosenbrock(50), 0.0),
+    MGHSpec("ext_powell_20", lambda: extended_powell(20), 0.0),
+    MGHSpec("trigonometric_20", lambda: trigonometric(20), 0.0),
+    MGHSpec("broyden_tridiagonal_50", lambda: broyden_tridiagonal(50), 0.0),
+    MGHSpec("broyden_banded_50", lambda: broyden_banded(50), 0.0),
+    MGHSpec("brown_almost_linear_25", lambda: brown_almost_linear(25), 0.0),
+    MGHSpec("disc_boundary_50", lambda: discrete_boundary_value(50), 0.0),
+    MGHSpec("disc_integral_50", lambda: discrete_integral(50), 0.0),
+    MGHSpec("vardim_20", lambda: variably_dimensioned(20), 0.0),
+    MGHSpec("linear_full_rank_40_60", lambda: linear_full_rank(40, 60), 20.0),
+    MGHSpec("jennrich_sampson_2_10", lambda: jennrich_sampson(10), 124.362),
+    MGHSpec("box3d_20", lambda: box3d(20), 0.0),
+    MGHSpec("gulf_10", lambda: gulf(10), 0.0),
+    MGHSpec("biggs_exp6_24", lambda: biggs_exp6(24), 0.0),
+]
+for _s in _EXTENDED:
+    _BY_NAME[_s.name] = _s
+
 
 def mgh_problem(name: str) -> NLSProblem:
     return _BY_NAME[name].make()
 
 
-def mgh_suite() -> List[MGHSpec]:
-    """All 35 specs in MGH order."""
-    return list(_SUITE)
+def mgh_suite(extended: bool = False) -> List[MGHSpec]:
+    """The 35 standard specs in MGH order; ``extended=True`` appends 20
+    dimensional variants from the paper's tables."""
+    return list(_SUITE) + (list(_EXTENDED) if extended else [])

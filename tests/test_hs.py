@@ -27,6 +27,10 @@ def test_hs_solves(spec):
         # must still land near the optimum even if the status is budget-bound
         assert 2 * stats.objective <= spec.fstar * 1.01 + 1e-4
         assert stats.primal_feas < 1e-2
+        # ... and the documented delta_min workaround must solve it exactly
+        fixed = CaNNOLeSSolver(pb, delta_min=1e-4).solve(max_time=60.0)
+        assert fixed.status == "first_order", fixed.status
+        assert abs(2 * fixed.objective - spec.fstar) < 1e-6
         return
     assert stats.status in ("first_order", "small_residual"), (spec.name, stats.status)
     assert stats.primal_feas < 1e-6, (spec.name, stats.primal_feas)
