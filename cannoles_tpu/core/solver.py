@@ -1026,7 +1026,42 @@ def cannoles(
     verbose: int = 0,
     **numeric,
 ) -> ExecutionStats:
-    """One-shot entry point (reference ``cannoles``, CaNNOLeS.jl:402-416)."""
+    """Solve an equality-constrained nonlinear least-squares problem.
+
+    ``min ½‖F(x)‖²  s.t. c(x) = 0`` — one-shot entry point (reference
+    ``cannoles``, CaNNOLeS.jl:402-416; kwarg surface documented at
+    CaNNOLeS.jl:116-132).
+
+    Arguments
+    ---------
+    problem : NLSProblem (build with :func:`cannoles_tpu.nls_problem`).
+
+    Keyword arguments
+    -----------------
+    x, lam : initial guess / initial Lagrange multiplier (default
+        ``problem.x0`` / ``problem.y0``).
+    use_initial_multiplier : if True use ``lam`` for the initial stopping
+        tests instead of the CGLS least-squares estimate.
+    method : 'newton' | 'lm' | 'gauss_newton' | 'newton_vanishing'
+        (reference symbols accepted as aliases).
+    linsolve : 'ldlt' | 'eigh' | 'pallas' | 'cpp' | 'chol' (condensed only);
+        'ma57'/'ldlfactorizations' aliases accepted.
+    kkt : 'full' ((n+m+p)² system) | 'condensed' ((n+p)² Schur form).
+    max_iter, max_eval, max_time, max_inner : budgets (max_eval counts
+        residual + constraint evaluations; max_time is wall clock,
+        checked between outer iterations).
+    atol, rtol : absolute/relative first-order tolerances
+        (ϵtol = atol + rtol·‖∇L⁰‖; defaults √eps(dtype)).
+    Fatol, Frtol : small-residual tolerances
+        (stop when ‖F‖ ≤ Fatol + Frtol·‖F⁰‖ and ‖c‖ ≤ √ϵtol).
+    verbose : print a log row every ``verbose`` outer iterations.
+    always_accept_extrapolation : run even if the extrapolation step fails.
+    callback : ``callback(problem, state, stats)`` per outer iteration; set
+        ``stats.status = 'user'`` to stop.
+
+    Returns an :class:`ExecutionStats` (status, solution, multipliers,
+    objective, dual/primal feasibility, counters in ``solver_specific``).
+    """
     problem.validate_for_solve()
     solver = CaNNOLeSSolver(
         problem,
