@@ -12,6 +12,8 @@ from .basic import (
     rosenbrock_nls,
     underdetermined,
 )
+from .families import bundle_adjustment, curve_fit_family
+from .hs import HS_NAMES, HSSpec, hs_problem, hs_suite
 from .mgh import MGH_NAMES, MGHSpec, mgh_problem, mgh_suite
 
 __all__ = [
@@ -29,4 +31,10 @@ __all__ = [
     "MGHSpec",
     "mgh_problem",
     "mgh_suite",
+    "HS_NAMES",
+    "HSSpec",
+    "hs_problem",
+    "hs_suite",
+    "bundle_adjustment",
+    "curve_fit_family",
 ]
