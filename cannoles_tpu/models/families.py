@@ -17,12 +17,13 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..problem import NLSProblem, nls_problem
 
-__all__ = ["curve_fit_family", "bundle_adjustment"]
+__all__ = ["curve_fit_family", "bundle_adjustment", "bundle_adjustment_batch"]
 
 
 def curve_fit_family(m: int = 1024, dtype=jnp.float32) -> NLSProblem:
@@ -98,7 +99,23 @@ def bundle_adjustment(
         uv = focal * Xc[..., :2] / z[..., None]
         return uv.reshape(-1)  # (2 K P,)
 
-    obs = np.asarray(project_all(jnp.asarray(x_true, dtype=jnp.float64)))
+    # synthesize observations in pure numpy: jnp ops here would issue
+    # hundreds of tiny device dispatches per scene (painful over a TPU link)
+    def _np_project(cams, pts):
+        uv = np.empty((n_cams, n_pts, 2))
+        for i in range(n_cams):
+            w, t = cams[i, :3], cams[i, 3:]
+            th = np.sqrt((w**2).sum()) + 1e-30
+            k = w / th
+            X = pts - t
+            c, s_ = np.cos(th), np.sin(th)
+            Xc = c * X + s_ * np.cross(np.broadcast_to(k, X.shape), X) + (
+                (1 - c) * (X @ k)[:, None] * k
+            )
+            uv[i] = focal * Xc[:, :2] / np.maximum(Xc[:, 2], 1e-3)[:, None]
+        return uv.reshape(-1)
+
+    obs = _np_project(cams_true, X_true)
     obs = obs + noise * rng.normal(size=obs.shape)
 
     def residual(x, d):
@@ -107,11 +124,12 @@ def bundle_adjustment(
     base2 = float(np.sum((t_true[1] - t_true[0]) ** 2))
     pose0 = cams_true[0].copy()
 
+    # gauge constants live in `data` so scenes batch under vsolve
     def cons(x, d):
-        c_pin = x[:6] - jnp.asarray(pose0, x.dtype)  # pin pose 0 (6)
+        c_pin = x[:6] - d["pose0"]  # pin pose 0 (6)
         t0 = x[3:6]
         t1 = x[9:12]
-        c_scale = jnp.array([jnp.sum((t1 - t0) ** 2) - base2])
+        c_scale = jnp.array([jnp.sum((t1 - t0) ** 2)]) - d["base2"]
         return jnp.concatenate([c_pin, c_scale])
 
     x0 = x_true + 0.02 * rng.normal(size=x_true.shape)
@@ -124,7 +142,27 @@ def bundle_adjustment(
         cons,
         np.zeros(7),
         np.zeros(7),
-        data={"obs": jnp.asarray(obs, dtype=dtype)},
+        data={
+            "obs": jnp.asarray(obs, dtype=dtype),
+            "pose0": jnp.asarray(pose0, dtype=dtype),
+            "base2": jnp.asarray([base2], dtype=dtype),
+        },
         name=f"bundle_adjustment_{n_cams}c{n_pts}p",
     )
     return pb, x_true
+
+
+def bundle_adjustment_batch(n_scenes: int, n_cams: int = 4, n_pts: int = 32,
+                            noise: float = 0.0, seed: int = 0, dtype=jnp.float64):
+    """Build ``n_scenes`` independent BA instances of one family: returns
+    (problem, x0_batch, data_batch, x_true_batch) ready for ``vsolve``."""
+    pbs, x0s, datas, trues = None, [], [], []
+    for i in range(n_scenes):
+        pb, xt = bundle_adjustment(n_cams, n_pts, noise=noise, seed=seed + i, dtype=dtype)
+        if pbs is None:
+            pbs = pb
+        x0s.append(np.asarray(pb.x0))
+        datas.append(pb.data)
+        trues.append(xt)
+    data_batch = jax.tree.map(lambda *ls: jnp.stack(ls), *datas)
+    return pbs, jnp.asarray(np.stack(x0s), dtype=dtype), data_batch, np.stack(trues)

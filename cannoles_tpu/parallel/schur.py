@@ -74,7 +74,15 @@ def solve_row_sharded(
 
     rows = NamedSharding(mesh, P("rows"))
     repl = NamedSharding(mesh, P())
-    data = jax.tree.map(lambda a: jax.device_put(jnp.asarray(a), rows), problem.data)
+
+    def _place(a):
+        a = jnp.asarray(a)
+        # shard only per-residual leaves (leading axis == nequ); scene-level
+        # constants (gauge anchors, scalars) stay replicated
+        sh = rows if (a.ndim >= 1 and a.shape[0] == problem.nequ) else repl
+        return jax.device_put(a, sh)
+
+    data = jax.tree.map(_place, problem.data)
     x0 = jax.device_put(
         jnp.asarray(problem.x0 if x0 is None else x0, dtype=solver.dtype), repl
     )
