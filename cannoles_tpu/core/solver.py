@@ -342,7 +342,10 @@ class CaNNOLeSSolver:
         pb = self.problem
         n, p = pb.nvar, pb.ncon
         dtype = H.dtype
-        M = H + Jx.T @ Jx
+        # precision='highest': TPU f32 matmuls default to bf16 multiplies,
+        # which destroys the conditioning of J'J (measured: 65/256 batched
+        # BA scenes solved vs 256/256 with full-f32 arithmetic)
+        M = H + jnp.matmul(Jx.T, Jx, precision="highest")
         if p == 0:
             return M
         K = jnp.zeros((n + p, n + p), dtype=dtype)
@@ -391,7 +394,7 @@ class CaNNOLeSSolver:
             delta = -W[n, n]  # the (2,2) block is -δI (rho touches only x-diag)
             bc = rhs[n:]
             Z = _st(Lm, Jc.T, lower=True)  # (n, p)
-            S = delta * jnp.eye(p, dtype=W.dtype) + Z.T @ Z
+            S = delta * jnp.eye(p, dtype=W.dtype) + jnp.matmul(Z.T, Z, precision="highest")
             Ls = jnp.linalg.cholesky(S)
             okS = jnp.all(jnp.isfinite(Ls))
             Minv_bx = cho_solve((Lm, True), bx)

@@ -137,7 +137,7 @@ def _ldlt_factor_looped(A: jax.Array, eig_tol: float, nb: int) -> Factorization:
         j1 = j0 + nb
         B = jnp.where(rows[:, None] >= j1, panel, 0.0)
         dpan = jnp.diagonal(lax.dynamic_slice(M, (j0, j0), (nb, nb)))
-        M = M - B @ (B * dpan[None, :]).T
+        M = M - jnp.matmul(B, (B * dpan[None, :]).T, precision="highest")
         return M
 
     M = lax.fori_loop(0, N // nb, panel_body, A)
@@ -179,18 +179,36 @@ def ldlt_factor(A: jax.Array, eig_tol: float, nb: int = 32) -> Factorization:
         d = d.at[j0:j1].set(dp)
         if j1 < N:
             Lsub = Lp[w:, :]  # (N-j1, w)
-            M = M.at[j1:N, j1:N].add(-(Lsub @ (Lsub * dp[None, :]).T))
+            M = M.at[j1:N, j1:N].add(
+                -jnp.matmul(Lsub, (Lsub * dp[None, :]).T, precision="highest")
+            )
     return Factorization(L, d)
 
 
 def ldlt_solve(fac: Factorization, rhs: jax.Array, eig_tol: float) -> jax.Array:
-    """Solve A x = rhs given A = L D Lᵀ (only valid when inertia succeeded)."""
+    """Solve A x = rhs given A = L D Lᵀ (only valid when inertia succeeded).
+
+    In float32 one step of iterative refinement is applied: TPU's blocked
+    ``triangular_solve`` trades accuracy for speed in low precision (measured
+    ~100× worse residuals than exact substitution at N ≈ 70, enough to flip
+    downstream inertia/convergence decisions); the refinement recovers it for
+    two extra triangular solves.  float64 is left untouched so CPU parity
+    trajectories stay bit-identical with the C++ backend."""
     L, d = fac
     ok = jnp.abs(d) > eig_tol
     dinv = jnp.where(ok, 1.0 / jnp.where(ok, d, 1.0), 0.0)
-    y = solve_triangular(L, rhs, lower=True, unit_diagonal=True)
-    y = y * dinv
-    return solve_triangular(L.T, y, lower=False, unit_diagonal=True)
+
+    def solve_once(b):
+        y = solve_triangular(L, b, lower=True, unit_diagonal=True)
+        y = y * dinv
+        return solve_triangular(L.T, y, lower=False, unit_diagonal=True)
+
+    x = solve_once(rhs)
+    if jnp.dtype(L.dtype).itemsize < 8:
+        # residual through the factorization: r = rhs - L D Lᵀ x
+        r = rhs - jnp.matmul(L, d * jnp.matmul(L.T, x, precision="highest"), precision="highest")
+        x = x + solve_once(r)
+    return x
 
 
 def eigh_factor(A: jax.Array, eig_tol: float) -> Factorization:
