@@ -14,6 +14,7 @@ from .basic import (
 )
 from .families import bundle_adjustment, curve_fit_family
 from .hs import HS_NAMES, HSSpec, hs_problem, hs_suite
+from .lvcon import LVCON_NAMES, LVConSpec, lvcon_problem, lvcon_suite
 from .mgh import MGH_NAMES, MGHSpec, mgh_problem, mgh_suite
 
 __all__ = [
@@ -35,6 +36,10 @@ __all__ = [
     "HSSpec",
     "hs_problem",
     "hs_suite",
+    "LVCON_NAMES",
+    "LVConSpec",
+    "lvcon_problem",
+    "lvcon_suite",
     "bundle_adjustment",
     "curve_fit_family",
 ]
