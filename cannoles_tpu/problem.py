@@ -165,6 +165,63 @@ class NLSProblem:
             return self.hess_cons_weighted(x, y, data)
         return jax.hessian(lambda z: jnp.vdot(self.cons(z, data), y))(x)
 
+    # ---- matrix-free products (NLPModels jprod/jtprod/hprod parity) ----
+    # The reference's hand-coded fixture (test/mgh01con.jl:23-283) defines the
+    # full matrix-free surface: jprod_residual!/jtprod_residual!,
+    # hprod_residual!, jprod!/jtprod!, hprod!.  On TPU these are one
+    # jvp/vjp/ nested-jvp each — no materialized Jacobian, O(nequ)/O(nvar)
+    # memory — and are what the large-m matrix-free paths (CGLS, Schur
+    # matvecs) consume.
+    def jprod_res(self, x, v, data=None):
+        """J(x) @ v via one forward-mode pass (jprod_residual!)."""
+        return jax.jvp(lambda z: self.residual(z, data), (x,), (v,))[1]
+
+    def jtprod_res(self, x, v, data=None):
+        """J(x)ᵀ @ v via one reverse-mode pass (jtprod_residual!)."""
+        _, pull = jax.vjp(lambda z: self.residual(z, data), x)
+        return pull(v)[0]
+
+    def jprod_cons(self, x, v, data=None):
+        """Jc(x) @ v (jprod!)."""
+        if self.ncon == 0:
+            return jnp.zeros((0,), dtype=x.dtype)
+        return jax.jvp(lambda z: self.cons(z, data), (x,), (v,))[1]
+
+    def jtprod_cons(self, x, v, data=None):
+        """Jc(x)ᵀ @ v (jtprod!)."""
+        if self.ncon == 0:
+            return jnp.zeros((self.nvar,), dtype=x.dtype)
+        _, pull = jax.vjp(lambda z: self.cons(z, data), x)
+        return pull(v)[0]
+
+    def hprod_res(self, x, r, v, data=None):
+        """(Σᵢ rᵢ ∇²Fᵢ(x)) @ v by forward-over-reverse (hprod_residual!)."""
+        if not self.has_residual_hessian:
+            raise NotImplementedError(
+                f"problem '{self.name}' provides no residual Hessian; "
+                "use method='gauss_newton' (reference :Newton_noFHess)"
+            )
+        g = jax.grad(lambda z: jnp.vdot(self.residual(z, data), r))
+        return jax.jvp(g, (x,), (v,))[1]
+
+    def hprod_cons(self, x, y, v, data=None):
+        """(Σᵢ yᵢ ∇²cᵢ(x)) @ v — hprod! with obj_weight = 0."""
+        if self.ncon == 0:
+            return jnp.zeros((self.nvar,), dtype=x.dtype)
+        g = jax.grad(lambda z: jnp.vdot(self.cons(z, data), y))
+        return jax.jvp(g, (x,), (v,))[1]
+
+    def hprod_lag(self, x, y, v, *, obj_weight=1.0, data=None):
+        """Lagrangian-Hessian product ∇²ₓₓ(σ·½‖F‖² + yᵀc) @ v — the NLPModels
+        hprod! contract (fixture test/mgh01con.jl hprod section).  The
+        objective Hessian is the Gauss–Newton JᵀJv term plus the residual
+        curvature Σ Fᵢ∇²Fᵢ v."""
+        g = jax.grad(
+            lambda z: obj_weight * 0.5 * jnp.vdot(self.residual(z, data), self.residual(z, data))
+            + (jnp.vdot(self.cons(z, data), y) if self.ncon > 0 else 0.0)
+        )
+        return jax.jvp(g, (x,), (v,))[1]
+
 
 def nls_problem(
     residual: Callable,
