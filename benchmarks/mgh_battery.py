@@ -69,12 +69,13 @@ def main():
         pb = spec.make()
         t0 = time.time()
         try:
-            solver = CaNNOLeSSolver(
-                pb, method=args.method, linsolve=args.linsolve, kkt=args.kkt
-            )
-            stats = solver.solve(
-                atol=0.0, rtol=1e-5, max_time=args.max_time
-            )
+            first = "ldlt" if args.linsolve == "auto" else args.linsolve
+            solver = CaNNOLeSSolver(pb, method=args.method, linsolve=first, kkt=args.kkt)
+            stats = solver.solve(atol=0.0, rtol=1e-5, max_time=args.max_time)
+            if args.linsolve == "auto" and stats.status == "exception":
+                # robust-backend escalation (reference two-backend seam)
+                solver = CaNNOLeSSolver(pb, method=args.method, linsolve="eigh", kkt=args.kkt)
+                stats = solver.solve(atol=0.0, rtol=1e-5, max_time=args.max_time)
             row = dict(
                 name=spec.name,
                 nvar=pb.nvar,

@@ -355,7 +355,31 @@ class CaNNOLeSSolver:
         K = K.at[n:, n:].set(-delta * jnp.eye(p, dtype=dtype))
         return K
 
+    def _solve_quality_ok(self, W, sol, rhs):
+        """Backward-error gate on a factorization attempt.
+
+        An unpivoted LDLᵀ can pass the pivot-sign inertia test yet deliver a
+        numerically wrong direction on an ill-conditioned KKT matrix (the
+        reference inherits the same hazard from LDLFactorizations' unpivoted
+        elimination and surfaces it as a Dϕ ≥ 0 line-search abort).  Here a
+        cheap O(N²) residual check demotes such attempts to *failures*, so the
+        existing ρ-bump loop (CaNNOLeS.jl:1029-1047) regularizes and retries —
+        turning a hard solver error into one more regularized factorization.
+        Gate: ‖W·sol − rhs‖∞ ≤ N·eps^(3/4)·(‖rhs‖∞ + max|W|·‖sol‖₁), a loose
+        multiple of the backward-stable bound, so accurate backends are never
+        affected (verified by backend trajectory-parity tests)."""
+        dtype = W.dtype
+        N = W.shape[-1]
+        tol = float(jnp.finfo(dtype).eps) ** 0.75 * N
+        res = rhs - jnp.matmul(W, sol, precision="highest")
+        scale = norm_inf(rhs) + jnp.max(jnp.abs(W)) * norm_1(sol)
+        return norm_inf(res) <= tol * (scale + jnp.asarray(1e-30, dtype))
+
     def _attempt(self, W, rhs):
+        sol, success = self._attempt_raw(W, rhs)
+        return sol, success & self._solve_quality_ok(W, sol, rhs)
+
+    def _attempt_raw(self, W, rhs):
         """One factorization attempt: returns (solution of W sol = rhs,
         inertia-success flag).  Backend seam: blocked jnp LDLᵀ / eigh /
         Pallas fused batched kernel (auto-selected under vmap)."""
@@ -1018,7 +1042,7 @@ def cannoles(
     problem: NLSProblem,
     *,
     method: str = "newton",
-    linsolve: str = "ldlt",
+    linsolve: str = "auto",
     kkt: str = "full",
     x=None,
     lam=None,
@@ -1047,7 +1071,9 @@ def cannoles(
         tests instead of the CGLS least-squares estimate.
     method : 'newton' | 'lm' | 'gauss_newton' | 'newton_vanishing'
         (reference symbols accepted as aliases).
-    linsolve : 'ldlt' | 'eigh' | 'pallas' | 'cpp' | 'chol' (condensed only);
+    linsolve : 'auto' (default: 'ldlt' with one robust-'eigh' retry on an
+        exception status — the two-backend seam of the reference) | 'ldlt' |
+        'eigh' | 'pallas' | 'cpp' | 'chol' (condensed only);
         'ma57'/'ldlfactorizations' aliases accepted.
     kkt : 'full' ((n+m+p)² system) | 'condensed' ((n+p)² Schur form).
     max_iter, max_eval, max_time, max_inner : budgets (max_eval counts
@@ -1066,14 +1092,36 @@ def cannoles(
     objective, dual/primal feasibility, counters in ``solver_specific``).
     """
     problem.validate_for_solve()
+    # linsolve='auto': the two-backend seam of the reference (MA57 default
+    # with an LDLFactorizations fallback, CaNNOLeS.jl:317-332) run in the
+    # TPU-economical direction — the fast unpivoted LDLᵀ first, and on an
+    # algorithmic breakdown (exception status: its fixed-order elimination
+    # can misjudge inertia on ill-conditioned KKT systems) one retry with the
+    # exact-inertia eigh backend (the MA57-robustness analog).
+    escalate = linsolve == "auto"
+    first = "ldlt" if escalate else linsolve
     solver = CaNNOLeSSolver(
         problem,
         method=method,
-        linsolve=linsolve,
+        linsolve=first,
         kkt=kkt,
         use_initial_multiplier=use_initial_multiplier,
         always_accept_extrapolation=always_accept_extrapolation,
     )
-    return solver.solve(
+    stats = solver.solve(
         x0=x, lam0=lam, callback=callback, max_time=max_time, verbose=verbose, **numeric
     )
+    if escalate and stats.status == "exception":
+        solver = CaNNOLeSSolver(
+            problem,
+            method=method,
+            linsolve="eigh",
+            kkt=kkt,
+            use_initial_multiplier=use_initial_multiplier,
+            always_accept_extrapolation=always_accept_extrapolation,
+        )
+        stats = solver.solve(
+            x0=x, lam0=lam, callback=callback, max_time=max_time,
+            verbose=verbose, **numeric,
+        )
+    return stats

@@ -66,3 +66,23 @@ def test_cpp_matches_jnp_pivots():
         if bool(ok):
             xj = ldlt_solve(fac, rhs, 1e-13)
             assert np.allclose(x, xj, atol=1e-10)
+
+
+def test_auto_escalation_recovers_ldlt_breakdown():
+    """linsolve='auto' (cannoles default): the unpivoted LDLᵀ misjudges the
+    KKT inertia on brown_almost_linear+linear (true inertia is correct at
+    ρ=0 while the fixed-order pivot signs claim failure → ρ over-escalates →
+    non-descent), and the one-shot robust-eigh retry recovers first_order —
+    the reference's two-backend seam (CaNNOLeS.jl:317-332) run in the
+    fast-first direction."""
+    from cannoles_tpu import CaNNOLeSSolver, cannoles
+    from cannoles_tpu.models.basic import constrained
+    from cannoles_tpu.models.mgh import mgh_problem
+
+    pb = constrained(mgh_problem("brown_almost_linear"), "linear")
+    fast = CaNNOLeSSolver(pb, method="newton", linsolve="ldlt").solve(
+        atol=0.0, rtol=1e-5, max_time=60
+    )
+    assert fast.status == "exception"  # documents the ldlt-only breakdown
+    stats = cannoles(pb, atol=0.0, rtol=1e-5, max_time=120)
+    assert stats.status == "first_order"
