@@ -50,6 +50,8 @@ __all__ = [
     "AVAILABLE_LINSOLVE",
     "vsolve",
     "multistart",
+    "solve_matfree",
+    "MatrixFreeSolver",
 ]
 
 
@@ -63,4 +65,8 @@ def __getattr__(name):
         from .parallel.multistart import multistart
 
         return multistart
+    if name in ("solve_matfree", "MatrixFreeSolver"):
+        from .core import matfree
+
+        return getattr(matfree, name)
     raise AttributeError(name)

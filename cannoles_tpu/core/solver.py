@@ -172,6 +172,7 @@ class CaNNOLeSSolver:
         debug_print: bool = False,
         params: Optional[Params] = None,
         delta_min: Optional[float] = None,
+        quality_gate: Optional[bool] = None,
         dtype=None,
     ):
         self.method = _check_available_method(method)
@@ -192,6 +193,15 @@ class CaNNOLeSSolver:
         self.always_accept_extrapolation = bool(always_accept_extrapolation)
         self.lm_damping = bool(lm_damping)
         self.block_size = int(block_size)
+        # backward-error gate on factorization attempts: default on only for
+        # KKT sizes where fixed-order elimination has room to misjudge
+        # inertia (measured breakdown at N=21); at tiny N the extra
+        # reductions halve the fused-kernel batch throughput for no
+        # robustness gain (every pivot is exercised directly).
+        N = problem.nvar + problem.nequ + problem.ncon
+        if kkt == "condensed":
+            N = problem.nvar + problem.ncon
+        self.quality_gate = (N >= 16) if quality_gate is None else bool(quality_gate)
         self.debug_print = bool(debug_print)
         self.last_state: Optional[SolverState] = None
         self.dtype = jnp.dtype(dtype) if dtype is not None else jnp.asarray(problem.x0).dtype
@@ -277,6 +287,7 @@ class CaNNOLeSSolver:
             block_size=self.block_size,
             kkt=self.kkt,
             params=self.params,
+            quality_gate=self.quality_gate,
             dtype=self.dtype,
         )
 
@@ -377,7 +388,9 @@ class CaNNOLeSSolver:
 
     def _attempt(self, W, rhs):
         sol, success = self._attempt_raw(W, rhs)
-        return sol, success & self._solve_quality_ok(W, sol, rhs)
+        if self.quality_gate:
+            success = success & self._solve_quality_ok(W, sol, rhs)
+        return sol, success
 
     def _attempt_raw(self, W, rhs):
         """One factorization attempt: returns (solution of W sol = rhs,
