@@ -86,6 +86,9 @@ def main():
         ("ldlt", 2048, None),
         ("pallas", 4096, None),
         ("pallas", 16384, 4096),
+        # same per-chunk compiled fn as the previous rung (chunk=4096), so
+        # this costs no extra compile — only amortizes dispatch further
+        ("pallas", 32768, 4096),
     ]
     if os.environ.get("BENCH_B"):
         ladder = [("pallas", int(os.environ["BENCH_B"]),

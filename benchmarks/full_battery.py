@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Aggregate battery — every registered problem family under the reference
+benchmark protocol (``/root/reference/docs/src/benchmark.md``: ``atol = 0,
+rtol = 1e-5``, 'solved' ⇔ status ∈ {first_order, small_residual}).
+
+The reference's published protocol filters NLSProblems.jl to "82 problems"
+(docs/src/benchmark.md:13-17).  This runner covers the analogous in-repo set:
+
+* MGH 1–35 (unconstrained NLS)                — models/mgh.py
+* 20 extended dimensional MGH variants        — models/mgh.py (extended)
+* 14 constrained-MGH (``sum(x)=1`` attached)  — reference runtests.jl style
+* Hock–Schittkowski equality-constrained SOS  — models/hs.py
+* Luksan–Vlcek-style chained constrained      — models/lvcon.py
+
+Each problem runs with the reference default configuration
+(newton / full KKT / linsolve='auto': fast unpivoted LDLᵀ, one robust-eigh
+escalation on an exception status — the reference's two-backend seam,
+CaNNOLeS.jl:317-320).  hs27 additionally gets the documented
+``delta_min=1e-4`` safeguard retry (see RESULTS.md).
+
+Usage:  python benchmarks/full_battery.py [--cpu] [--json out.json]
+"""
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+
+def collect():
+    """Yields (family, name, make_problem, fstar_sumsq_or_None)."""
+    from cannoles_tpu.models.mgh import mgh_suite, MGHSpec
+    from cannoles_tpu.models.hs import hs_suite
+    from cannoles_tpu.models.lvcon import lvcon_suite
+    from cannoles_tpu.models.basic import constrained
+
+    items = []
+    base = mgh_suite()
+    for s in base:
+        items.append(("mgh", s.name, s.make, s.fmin))
+    seen = {s.name for s in base}
+    for s in mgh_suite(extended=True):
+        if s.name not in seen:
+            items.append(("mgh_ext", s.name, s.make, s.fmin))
+    CURATED = {
+        "rosenbrock", "beale", "helical_valley", "powell_singular", "wood",
+        "ext_rosenbrock", "ext_powell", "broyden_tridiagonal",
+        "broyden_banded", "brown_almost_linear", "variably_dimensioned",
+        "trigonometric", "discrete_boundary_value", "chebyquad",
+    }
+    for s in mgh_suite(extended=True):
+        if s.name in CURATED:
+            items.append(
+                ("mgh_con", s.name + "+linear",
+                 (lambda s=s: constrained(s.make(), "linear")), None)
+            )
+    for s in hs_suite():
+        items.append(("hs", s.name, s.make, s.fstar))
+    for pb in lvcon_suite():
+        items.append(("lvcon", pb.name, (lambda pb=pb: pb), None))
+    return items
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true", help="force CPU + float64")
+    ap.add_argument("--max-time", type=float, default=60.0)
+    ap.add_argument("--json", default=None)
+    args = ap.parse_args()
+
+    if args.cpu:
+        from cannoles_tpu.utils.testing import force_cpu
+
+        force_cpu()
+
+    from cannoles_tpu import CaNNOLeSSolver
+
+    rows = []
+    for family, name, make, fstar in collect():
+        t0 = time.time()
+        try:
+            pb = make()
+            solver = CaNNOLeSSolver(pb, linsolve="ldlt")
+            stats = solver.solve(atol=0.0, rtol=1e-5, max_time=args.max_time)
+            if stats.status == "exception":
+                solver = CaNNOLeSSolver(pb, linsolve="eigh")
+                stats = solver.solve(atol=0.0, rtol=1e-5, max_time=args.max_time)
+            if name == "hs27" and stats.status not in ("first_order", "small_residual"):
+                stats = CaNNOLeSSolver(pb, linsolve="ldlt", delta_min=1e-4).solve(
+                    atol=0.0, rtol=1e-5, max_time=args.max_time
+                )
+            row = dict(
+                family=family, name=name, nvar=pb.nvar, nequ=pb.nequ,
+                ncon=pb.ncon, status=stats.status,
+                solved=stats.status in ("first_order", "small_residual"),
+                iter=stats.iter, fsumsq=2 * stats.objective, fstar=fstar,
+                dual_feas=stats.dual_feas, primal_feas=stats.primal_feas,
+                time=time.time() - t0,
+            )
+        except Exception as e:  # noqa: BLE001 — battery survives one bad problem
+            row = dict(
+                family=family, name=name, nvar=-1, nequ=-1, ncon=-1,
+                status=f"error:{e}", solved=False, iter=-1,
+                fsumsq=float("nan"), fstar=fstar, dual_feas=float("nan"),
+                primal_feas=float("nan"), time=time.time() - t0,
+            )
+        rows.append(row)
+        print(
+            f"{row['family']:8s} {row['name']:30s} {row['status']:<16s} "
+            f"iter={row['iter']:<4} Σf²={row['fsumsq']:<12.5g} "
+            f"t={row['time']:.2f}s",
+            flush=True,
+        )
+
+    solved = sum(r["solved"] for r in rows)
+    by_family = {}
+    for r in rows:
+        n, s = by_family.get(r["family"], (0, 0))
+        by_family[r["family"]] = (n + 1, s + r["solved"])
+    summary = dict(
+        n=len(rows), solved=solved, solve_rate=round(solved / len(rows), 4),
+        by_family={k: f"{s}/{n}" for k, (n, s) in by_family.items()},
+    )
+    print(json.dumps(summary))
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(dict(summary=summary, rows=rows), f, indent=1)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -146,6 +146,48 @@ def hs52():
     )
 
 
+def hs53():
+    # HS53 objective is already a sum of squares; its ±10 box bounds are
+    # inactive at x* = (-33, 11, 27, -5, 11)/43 and are dropped (the
+    # reference rejects bounds outright, CaNNOLeS.jl:408-410).
+    return _p(
+        lambda x: jnp.array(
+            [x[0] - x[1], x[1] + x[2] - 2, x[3] - 1, x[4] - 1]
+        ),
+        [2.0] * 5, 4,
+        lambda x: jnp.array(
+            [x[0] + 3 * x[1], x[2] + x[3] - 2 * x[4], x[1] - x[4]]
+        ), 3, "hs53",
+    )
+
+
+def hs60():
+    # (x1-1)^2 + (x1-x2)^2 + (x2-x3)^4 with one nonlinear equality; the ±10
+    # bounds are inactive at x* ≈ (1.1049, 1.1967, 1.5353) and dropped.
+    return _p(
+        lambda x: jnp.array([x[0] - 1, x[0] - x[1], (x[1] - x[2]) ** 2]),
+        [2.0, 2.0, 2.0], 3,
+        lambda x: jnp.array(
+            [x[0] * (1 + x[1] ** 2) + x[2] ** 4 - 4 - 3 * _SQ2]
+        ), 1, "hs60",
+    )
+
+
+def hs61():
+    # Quadratic 4x1²+2x2²+2x3²−33x1+16x2−24x3 written as the completed
+    # square ‖F‖² − 172.0625: F = [2(x1−33/8), √2(x2+4), √2(x3−6)].  Same
+    # minimizer; fstar below records the Σf² value (HS f* = −143.6461422).
+    return _p(
+        lambda x: jnp.array(
+            [2 * (x[0] - 33 / 8), _SQ2 * (x[1] + 4), _SQ2 * (x[2] - 6)]
+        ),
+        [0.0, 0.0, 0.0], 3,
+        lambda x: jnp.array(
+            [3 * x[0] - 2 * x[1] ** 2 - 7, 4 * x[0] - x[2] ** 2 - 11]
+        ), 2, "hs61",
+    )
+
+
 def hs77():
     return _p(
         lambda x: jnp.array(
@@ -185,6 +227,9 @@ _SUITE: List[HSSpec] = [
     HSSpec("hs50", hs50, 0.0),
     HSSpec("hs51", hs51, 0.0),
     HSSpec("hs52", hs52, 5.32664756),  # 1859/349
+    HSSpec("hs53", hs53, 4.09302326),  # 176/43
+    HSSpec("hs60", hs60, 0.0325682003),
+    HSSpec("hs61", hs61, 28.4163578),  # −143.6461422 + 172.0625
     HSSpec("hs77", hs77, 0.24150513),
     HSSpec("hs79", hs79, 0.0787768209),
 ]
