@@ -16,12 +16,24 @@ default 450 s) and reports the best completed measurement.
 
 import json
 import os
+import pathlib
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Persistent XLA/Mosaic compilation cache: on a cold toolchain each ladder
+# rung costs minutes of compile (measured 301 s for the first rung alone),
+# which starves the wall-clock budget.  The cache is keyed on program +
+# topology, so a pre-warmed run makes later runs pure measurement.
+_CACHE = os.environ.get(
+    "JAX_COMPILATION_CACHE_DIR",
+    str(pathlib.Path(__file__).resolve().parent / ".jax_cache"),
+)
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def build_problem(dtype):
