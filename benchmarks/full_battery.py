@@ -12,11 +12,14 @@ The reference's published protocol filters NLSProblems.jl to "82 problems"
 * Hock–Schittkowski equality-constrained SOS  — models/hs.py
 * Luksan–Vlcek-style chained constrained      — models/lvcon.py
 
-Each problem runs with the reference default configuration
-(newton / full KKT / linsolve='auto': fast unpivoted LDLᵀ, one robust-eigh
-escalation on an exception status — the reference's two-backend seam,
-CaNNOLeS.jl:317-320).  hs27 additionally gets the documented
-``delta_min=1e-4`` safeguard retry (see RESULTS.md).
+Each problem runs with the reference default configuration (newton / full
+KKT), first with the fast unpivoted ``linsolve='ldlt'`` and — on an
+exception status — one robust ``linsolve='eigh'`` retry (the same
+ldlt-then-eigh escalation that ``cannoles(..., linsolve='auto')`` performs;
+the reference's two-backend seam, CaNNOLeS.jl:317-320).  hs27 additionally
+gets the documented ``delta_min=1e-4`` safeguard retry; the JSON summary
+records both the uniform-config solve count (``solved_uniform``) and the
+with-safeguard count (``solved``).
 
 Usage:  python benchmarks/full_battery.py [--cpu] [--json out.json]
 """
@@ -32,7 +35,7 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 def collect():
     """Yields (family, name, make_problem, fstar_sumsq_or_None)."""
-    from cannoles_tpu.models.mgh import mgh_suite, MGHSpec
+    from cannoles_tpu.models.mgh import mgh_suite
     from cannoles_tpu.models.hs import hs_suite
     from cannoles_tpu.models.lvcon import lvcon_suite
     from cannoles_tpu.models.basic import constrained
@@ -88,14 +91,18 @@ def main():
             if stats.status == "exception":
                 solver = CaNNOLeSSolver(pb, linsolve="eigh")
                 stats = solver.solve(atol=0.0, rtol=1e-5, max_time=args.max_time)
-            if name == "hs27" and stats.status not in ("first_order", "small_residual"):
+            solved_uniform = stats.status in ("first_order", "small_residual")
+            safeguarded = False
+            if name == "hs27" and not solved_uniform:
                 stats = CaNNOLeSSolver(pb, linsolve="ldlt", delta_min=1e-4).solve(
                     atol=0.0, rtol=1e-5, max_time=args.max_time
                 )
+                safeguarded = stats.status in ("first_order", "small_residual")
             row = dict(
                 family=family, name=name, nvar=pb.nvar, nequ=pb.nequ,
                 ncon=pb.ncon, status=stats.status,
                 solved=stats.status in ("first_order", "small_residual"),
+                solved_uniform=solved_uniform, safeguarded=safeguarded,
                 iter=stats.iter, fsumsq=2 * stats.objective, fstar=fstar,
                 dual_feas=stats.dual_feas, primal_feas=stats.primal_feas,
                 time=time.time() - t0,
@@ -103,7 +110,8 @@ def main():
         except Exception as e:  # noqa: BLE001 — battery survives one bad problem
             row = dict(
                 family=family, name=name, nvar=-1, nequ=-1, ncon=-1,
-                status=f"error:{e}", solved=False, iter=-1,
+                status=f"error:{e}", solved=False, solved_uniform=False,
+                safeguarded=False, iter=-1,
                 fsumsq=float("nan"), fstar=fstar, dual_feas=float("nan"),
                 primal_feas=float("nan"), time=time.time() - t0,
             )
@@ -116,12 +124,15 @@ def main():
         )
 
     solved = sum(r["solved"] for r in rows)
+    solved_uniform = sum(r["solved_uniform"] for r in rows)
     by_family = {}
     for r in rows:
         n, s = by_family.get(r["family"], (0, 0))
         by_family[r["family"]] = (n + 1, s + r["solved"])
     summary = dict(
-        n=len(rows), solved=solved, solve_rate=round(solved / len(rows), 4),
+        n=len(rows), solved=solved, solved_uniform=solved_uniform,
+        solve_rate=round(solved / len(rows), 4),
+        solve_rate_uniform=round(solved_uniform / len(rows), 4),
         by_family={k: f"{s}/{n}" for k, (n, s) in by_family.items()},
     )
     print(json.dumps(summary))

@@ -57,10 +57,20 @@ def main():
             "numbers here validate the sharded program, not hardware scaling."
         )
     rows = scaling_bench(pb, x0s, datas)
+    # label every row so downstream consumers can't mistake virtual-mesh
+    # program validation for hardware scaling evidence
+    import jax
+
+    mesh_kind = (
+        "virtual_cpu_shared_core" if (args.cpu or jax.default_backend() == "cpu")
+        else "hardware"
+    )
     for r in rows:
+        r["mesh"] = mesh_kind
         print(
             f"devices={r['devices']:<3d} throughput={r['throughput']:.0f}/s "
-            f"speedup={r['speedup']:.2f} efficiency={r['efficiency']*100:.0f}%"
+            f"speedup={r['speedup']:.2f} efficiency={r['efficiency']*100:.0f}% "
+            f"[{mesh_kind}]"
         )
     print(json.dumps(rows))
 

@@ -134,3 +134,45 @@ def test_warm_start_with_multiplier():
     assert stats.status == "first_order"
     assert stats.primal_feas < 1e-6
     assert np.allclose(stats.solution, [0.6188, 0.3812], atol=1e-3)
+
+
+def test_newton_vanishing_drops_hessian_term():
+    """newton_vanishing: the second-order term Σrᵢ∇²Fᵢ must drop once
+    ‖F‖² ≤ 1e-8 (documented semantics, hessian_approx.jl:55-60 — a
+    deliberate deviation from the reference, whose Newton_vanishing ctor
+    returns plain Newton; see PARITY.md)."""
+    nls = nls_problem(
+        lambda x: jnp.array([x[0] ** 2 - 1, x[1]]),
+        jnp.array([2.0, 1.0]),
+        2,
+        name="vanishing_probe",
+    )
+    sv = CaNNOLeSSolver(nls, method="newton_vanishing")
+    sn = CaNNOLeSSolver(nls, method="newton")
+    x = jnp.array([2.0, 1.0])
+    lam = jnp.zeros((0,))
+    damp = jnp.ones(())
+
+    # far from the solution: ‖F‖² > 1e-8 ⇒ identical exact-Newton block
+    F_big = nls.F(x, None)
+    r_big = F_big
+    H_v = sv._H_block(x, lam, r_big, F_big, nls.J(x, None), damp, None)
+    H_n = sn._H_block(x, lam, r_big, F_big, nls.J(x, None), damp, None)
+    assert np.allclose(H_v, H_n)
+    assert float(jnp.abs(H_n).max()) > 0  # the term is genuinely nonzero
+
+    # inside the small-residual region: the block must vanish even though
+    # the SAME r would give a nonzero Σrᵢ∇²Fᵢ contraction
+    F_small = jnp.array([3e-5, 3e-5])  # ‖F‖² = 1.8e-9 ≤ 1e-8
+    H_v = sv._H_block(x, lam, r_big, F_small, nls.J(x, None), damp, None)
+    H_n = sn._H_block(x, lam, r_big, F_small, nls.J(x, None), damp, None)
+    assert np.allclose(H_v, 0.0)
+    assert float(jnp.abs(H_n).max()) > 0
+
+    # end-to-end: the method drives the zero-residual problem through the
+    # switch to the solution
+    stats = cannoles(nls, method="newton_vanishing")
+    assert stats.status in ("first_order", "small_residual")
+    assert np.allclose(np.abs(stats.solution), [1.0, 0.0], atol=1e-6)
+    stats = cannoles(nls, method="Newton_vanishing")  # reference alias
+    assert stats.status in ("first_order", "small_residual")
