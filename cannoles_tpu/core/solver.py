@@ -41,6 +41,17 @@ from ..problem import NLSProblem
 from ..utils.linalg import check_nan_inf, norm_1, norm_2, norm_inf
 from .status import MSG, ExecutionStats, Status, get_status_code, status_name
 
+
+def _tree_select(pred, on_true, on_false):
+    """Per-leaf jnp.where over two matching pytrees.
+
+    Used instead of ``lax.cond`` on the compiled hot path: under vmap a cond
+    lowers to select_n and executes both branches anyway, and vmap-of-cond
+    inside shard_map trips jax 0.9's varying-manual-axes checker (it replays
+    branch jaxprs without harmonizing vma).  The branchless form is
+    vma-correct by construction and identical in cost under batching."""
+    return jax.tree.map(lambda a, b: jnp.where(pred, a, b), on_true, on_false)
+
 __all__ = [
     "CaNNOLeSSolver",
     "cannoles",
@@ -475,26 +486,27 @@ class CaNNOLeSSolver:
                 jnp.where(c.k == 1, first_rho, c.rho * inc),
             )
             do = rho <= pr.rho_max
-
-            def try_f(_):
-                return attempt(rho)
-
-            def skip_f(_):
-                return c.sol, jnp.zeros((), dtype=bool)
-
-            sol, success = lax.cond(do, try_f, skip_f, None)
+            # Branchless: under vmap a lax.cond executes both branches anyway,
+            # and vmap-of-cond trips a vma bug under shard_map (jax 0.9 asks
+            # for check_vma=False); the masked form costs one extra attempt
+            # only at rho-ladder exhaustion, which aborts the loop next trip.
+            sol_t, suc_t = attempt(rho)
+            sol = jnp.where(do, sol_t, c.sol)
+            success = do & suc_t
             return _RhoCarry(c.k + 1, rho, sol, success, c.nfact + do.astype(jnp.int32))
 
         N = W0.shape[0]
         out = lax.while_loop(
             cond,
             body,
+            # init carries derive from rhs (zeros_like) so their
+            # varying-manual-axes type matches the body outputs under shard_map
             _RhoCarry(
                 jnp.zeros((), jnp.int32),
-                jnp.zeros((), dtype),
-                jnp.zeros((N,), dtype),
-                jnp.zeros((), dtype=bool),
-                jnp.zeros((), jnp.int32),
+                jnp.zeros_like(rhs, shape=()),
+                jnp.zeros_like(rhs, shape=(N,)),
+                jnp.zeros_like(rhs, shape=(), dtype=bool),
+                jnp.zeros_like(rhs, shape=(), dtype=jnp.int32),
             ),
         )
         rho_old_new = jnp.where(
@@ -528,7 +540,7 @@ class CaNNOLeSSolver:
             lam = s.lam
             dual = Jxtr
         normdual = norm_inf(dual)
-        primal = jnp.concatenate([jnp.zeros((m,), dtype=s.x.dtype), s.cx])
+        primal = jnp.concatenate([jnp.zeros_like(s.x, shape=(m,)), s.cx])
         normprimal = norm_inf(s.cx)
         return s._replace(
             r=r, lam=lam, dual=dual, primal=primal, normdual=normdual, normprimal=normprimal
@@ -550,8 +562,8 @@ class CaNNOLeSSolver:
         Jx = pb.J(x, data)
         cx = pb.c_shifted(x, data)
         Jcx = pb.Jc(x, data)
-        neval_F = jnp.ones((), jnp.int32)
-        neval_c = jnp.asarray(1 if p > 0 else 0, jnp.int32)
+        neval_F = jnp.full_like(x, 1, shape=(), dtype=jnp.int32)
+        neval_c = jnp.full_like(x, 1 if p > 0 else 0, shape=(), dtype=jnp.int32)
 
         r = Fx
         Jxtr = Jx.T @ r
@@ -584,30 +596,35 @@ class CaNNOLeSSolver:
             Jcx=Jcx,
             dual=dual,
             primal=primal,
-            d=jnp.zeros((n + m + p,), dtype=dtype),
-            dlam=jnp.zeros((p,), dtype=dtype),
+            # constant-initialized fields derive from x via full_like so the
+            # whole state carries x's varying-manual-axes type: under
+            # shard_map every while_loop/cond over SolverState then has
+            # vma-consistent carries/branches (fresh constants are unvarying
+            # and would clash with body outputs mixed from varying data)
+            d=jnp.zeros_like(x, shape=(n + m + p,)),
+            dlam=jnp.zeros_like(x, shape=(p,)),
             normdual=normdual,
             normprimal=normprimal,
-            rho=jnp.zeros((), dtype=dtype),
-            rho_old=jnp.zeros((), dtype=dtype),
-            delta=jnp.ones((), dtype=dtype),
-            eta=jnp.asarray(1.0 if p > 0 else 0.0, dtype=dtype),
-            epsk=jnp.asarray(1e3, dtype=dtype),
-            alpha=jnp.zeros((), dtype=dtype),
-            damp=jnp.ones((), dtype=dtype),
+            rho=jnp.zeros_like(x, shape=()),
+            rho_old=jnp.zeros_like(x, shape=()),
+            delta=jnp.full_like(x, 1.0, shape=()),
+            eta=jnp.full_like(x, 1.0 if p > 0 else 0.0, shape=()),
+            epsk=jnp.full_like(x, 1e3, shape=()),
+            alpha=jnp.zeros_like(x, shape=()),
+            damp=jnp.full_like(x, 1.0, shape=()),
             epsF=epsF,
             epstol=epstol,
             epsc=epsc,
-            iter=jnp.zeros((), jnp.int32),
-            inner_iter=jnp.zeros((), jnp.int32),
+            iter=jnp.zeros_like(x, shape=(), dtype=jnp.int32),
+            inner_iter=jnp.zeros_like(x, shape=(), dtype=jnp.int32),
             neval_F=neval_F,
             neval_c=neval_c,
-            nbk=jnp.zeros((), jnp.int32),
-            nfact=jnp.zeros((), jnp.int32),
-            nlinsolve=jnp.zeros((), jnp.int32),
-            status=jnp.zeros((), jnp.int32),
+            nbk=jnp.zeros_like(x, shape=(), dtype=jnp.int32),
+            nfact=jnp.zeros_like(x, shape=(), dtype=jnp.int32),
+            nlinsolve=jnp.zeros_like(x, shape=(), dtype=jnp.int32),
+            status=jnp.zeros_like(x, shape=(), dtype=jnp.int32),
             broken=broken,
-            msg=jnp.zeros((), jnp.int32),
+            msg=jnp.zeros_like(x, shape=(), dtype=jnp.int32),
             first_order=first_order,
             small_residual=small_residual,
             data=data,
@@ -620,7 +637,7 @@ class CaNNOLeSSolver:
             fo = jnp.maximum(s2.normdual / sd2, s2.normprimal) <= s2.epstol
             return s2._replace(first_order=fo)
 
-        s = lax.cond(small_residual & ~first_order, recheck, lambda s: s, s)
+        s = _tree_select(small_residual & ~first_order, recheck(s), s)
 
         status = get_status_code(
             optimal=s.first_order,
@@ -644,7 +661,12 @@ class CaNNOLeSSolver:
         delta0 = jnp.maximum(
             jnp.asarray(pr.delta_min, dtype), jnp.minimum(cfg.delta_dec * s.delta, combined)
         )
-        s = s._replace(delta=delta0, damp=jnp.ones((), dtype=dtype), inner_iter=jnp.zeros((), jnp.int32))
+        # *_like resets keep the state's varying-manual-axes type (shard_map)
+        s = s._replace(
+            delta=delta0,
+            damp=jnp.full_like(s.damp, 1.0),
+            inner_iter=jnp.zeros_like(s.inner_iter),
+        )
 
         # ---------------- inner loop ----------------
         def solve_system(s: SolverState) -> SolverState:
@@ -784,7 +806,7 @@ class CaNNOLeSSolver:
             # skip the solve right after a failed extrapolation (the
             # inner_iter == 1 quirk, CaNNOLeS.jl:627)
             do_solve = (s.inner_iter != 1) | self.always_accept_extrapolation
-            s = lax.cond(do_solve, solve_system, lambda s: s, s)
+            s = _tree_select(do_solve, solve_system(s), s)
 
             def when_broken(_):
                 return _InnerCarry(
@@ -860,14 +882,14 @@ class CaNNOLeSSolver:
                 )
                 return _InnerCarry(s_n, ndh, nph, ch, jnp.zeros((), dtype=bool), tired)
 
-            return lax.cond(s.broken, when_broken, when_ok, None)
+            return _tree_select(s.broken, when_broken(None), when_ok(None))
 
         init_carry = _InnerCarry(
             s,
             s.normdual,
             s.normprimal,
-            jnp.asarray(jnp.inf, dtype=dtype),
-            jnp.ones((), dtype=bool),
+            jnp.full_like(s.fx, jnp.inf),
+            jnp.full_like(s.broken, True),
             (s.neval_F + s.neval_c) > cfg.max_eval,
         )
         c = lax.while_loop(inner_cond, inner_body, init_carry)
@@ -885,7 +907,7 @@ class CaNNOLeSSolver:
             fo = jnp.maximum(s2.normdual / sd2, s2.normprimal) <= s2.epstol
             return s2._replace(first_order=fo)
 
-        s = lax.cond(small_residual & ~first_order, recheck, lambda s: s, s)
+        s = _tree_select(small_residual & ~first_order, recheck(s), s)
 
         if self.debug_print:
             # in-compiled-loop log row (reference column set, CaNNOLeS.jl:590)

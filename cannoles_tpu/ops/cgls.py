@@ -78,7 +78,9 @@ def cgls(
         return _CGLSCarry(y, r, pnew, gamma_next, c.k + 1)
 
     init = _CGLSCarry(
-        y=jnp.zeros((p,), dtype=dtype),
+        # zeros_like keeps s0's varying-manual-axes type so the while_loop
+        # carry is vma-consistent under shard_map (fresh zeros are unvarying)
+        y=jnp.zeros_like(s0),
         r=b,
         p=s0,
         gamma=gamma0,

@@ -84,8 +84,10 @@ def _panel_factor(P: jax.Array, eig_tol: float) -> Tuple[jax.Array, jax.Array]:
         P = P - dk * col[:, None] * head[None, :]
         return P, Lp, d
 
+    # zeros_like (not fresh zeros) keeps P's varying-manual-axes type so the
+    # carry is vma-consistent under shard_map
     P, Lp, d = lax.fori_loop(
-        0, nb, body, (P, jnp.zeros_like(P), jnp.zeros((nb,), dtype=P.dtype))
+        0, nb, body, (P, jnp.zeros_like(P), jnp.zeros_like(P, shape=(nb,)))
     )
     return Lp, d
 
