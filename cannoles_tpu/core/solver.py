@@ -185,6 +185,8 @@ class CaNNOLeSSolver:
         delta_min: Optional[float] = None,
         quality_gate: Optional[bool] = None,
         robust_fallback: bool = False,
+        matmul_precision: Optional[str] = None,
+        pallas_chol_min: Optional[int] = None,
         dtype=None,
     ):
         self.method = _check_available_method(method)
@@ -214,6 +216,11 @@ class CaNNOLeSSolver:
         if kkt == "condensed":
             N = problem.nvar + problem.ncon
         self.quality_gate = (N >= 16) if quality_gate is None else bool(quality_gate)
+        # linsolve='chol' n-size threshold above which the owned Pallas
+        # blocked-Cholesky kernel replaces XLA's cholesky+triangular_solve
+        # (measured crossover on v5e: RESULTS.md; triangular solves dominate
+        # the XLA path beyond n ≈ 512)
+        self.pallas_chol_min = 512 if pallas_chol_min is None else int(pallas_chol_min)
         # in-loop exact-inertia retry at rho-ladder exhaustion (the
         # two-backend seam of the reference run per-iteration); meaningless
         # for the already-exact eigh backend
@@ -236,11 +243,39 @@ class CaNNOLeSSolver:
                 f"problem '{problem.name}' provides no residual Hessian; "
                 "use method='gauss_newton' (reference :Newton_noFHess)"
             )
+        # Mixed-precision seam (the TPU-native bfloat16 mode).  On TPU an f32
+        # matmul with Precision.DEFAULT already runs bf16 multiplies with f32
+        # accumulation on the MXU; the numerically critical contractions
+        # (J'J condensation, quality-gate / refinement residuals) explicitly
+        # pin precision='highest' and are unaffected by this default.  So:
+        #   None        -> mixed mode (default): bf16 MXU passes everywhere
+        #                  it is safe, f32-emulation where it matters;
+        #   'highest'   -> force full f32-precision arithmetic in every
+        #                  matmul (parity/debug; matches CPU bitwise-ish);
+        #   'bfloat16'  -> name the mixed mode explicitly (same as None on
+        #                  current JAX, kept as a stable knob).
+        # Accuracy envelope: benchmarks/bf16_envelope.py + RESULTS.md.
+        if matmul_precision not in (None, "highest", "float32", "bfloat16", "tensorfloat32"):
+            raise ValueError(f"unknown matmul_precision {matmul_precision!r}")
+        self.matmul_precision = matmul_precision
         # jitted entry points (compiled lazily on first call)
-        self._init_fn = jax.jit(self._init_state)
-        self._outer_fn = jax.jit(self._outer_step)
-        self._run_fn = jax.jit(self._run_compiled)
+        self._init_fn = self._jit(self._init_state)
+        self._outer_fn = self._jit(self._outer_step)
+        self._run_fn = self._jit(self._run_compiled)
         self._batch_runners: dict = {}
+
+    def _jit(self, fn, **jit_kw):
+        """jit under the solver's matmul-precision default (trace-time
+        config: explicit precision= args in the graph are unaffected)."""
+        if self.matmul_precision is None:
+            return jax.jit(fn, **jit_kw)
+        prec = self.matmul_precision
+
+        def wrapped(*args):
+            with jax.default_matmul_precision(prec):
+                return fn(*args)
+
+        return jax.jit(wrapped, **jit_kw)
 
     def batch_runner(self, data_batched: bool, batch_shape=None):
         """Cached jitted batched runner: ``run(x0s, lam0s, cfg, datas)``.
@@ -255,7 +290,7 @@ class CaNNOLeSSolver:
             self._run_compiled, in_axes=(0, 0, None, 0 if data_batched else None)
         )
         if batch_shape is None:
-            run = jax.jit(vrun)
+            run = self._jit(vrun)
         else:
             B, chunk = batch_shape
             nchunk = B // chunk
@@ -263,7 +298,7 @@ class CaNNOLeSSolver:
             def _split(a):
                 return a.reshape((nchunk, chunk) + a.shape[1:])
 
-            @jax.jit
+            @self._jit
             def run(x0s, l0s, cfg, datas):
                 xr, lr = _split(x0s), _split(l0s)
                 dr = None if datas is None else jax.tree.map(_split, datas)
@@ -305,6 +340,8 @@ class CaNNOLeSSolver:
             params=self.params,
             quality_gate=self.quality_gate,
             robust_fallback=self.robust_fallback,
+            matmul_precision=self.matmul_precision,
+            pallas_chol_min=self.pallas_chol_min,
             dtype=self.dtype,
         )
 
@@ -430,30 +467,49 @@ class CaNNOLeSSolver:
             # K = [M Jcᵀ; Jc -δI]: In(K) = (n, p, 0) ⟺ M ≻ 0 (the Schur
             # block -δI - Jc M⁻¹Jcᵀ is then automatically negative
             # definite), so success == Cholesky(M) finite with pivots
-            # above eig_tol — the same inertia criterion, evaluated by
-            # XLA's native blocked Cholesky (speed-of-light on the MXU,
-            # vs the latency-bound column-sequential LDLᵀ).
+            # above eig_tol — the same inertia criterion.  Two seams for
+            # the n×n factor: XLA's blocked Cholesky below
+            # ``pallas_chol_min``, and the owned Pallas blocked kernel
+            # above it (ops/pallas_chol.py: diagonal blocks factored +
+            # inverted in VMEM, so every triangular solve becomes an MXU
+            # matmul — XLA's triangular_solve is row-recurrence bound at
+            # large N).
             from jax.scipy.linalg import cho_solve, solve_triangular as _st
 
             p = self.problem.ncon
             M = W[:n, :n]
-            Lm = jnp.linalg.cholesky(M)
-            dlm = jnp.diagonal(Lm)
-            okM = jnp.all(jnp.isfinite(Lm)) & jnp.all(dlm * dlm > pr.eig_tol)
             bx = rhs[:n]
+            use_pallas = n >= self.pallas_chol_min
+            if use_pallas:
+                from ..ops.pallas_chol import (
+                    block_cho_solve,
+                    block_forward_solve,
+                    pallas_cholesky,
+                )
+
+                facM = pallas_cholesky(M, pr.eig_tol, nb=256)
+                okM = facM.ok
+                M_solve = lambda b: block_cho_solve(facM, b)  # noqa: E731
+                M_fwd = lambda b: block_forward_solve(facM, b)  # noqa: E731
+            else:
+                Lm = jnp.linalg.cholesky(M)
+                dlm = jnp.diagonal(Lm)
+                okM = jnp.all(jnp.isfinite(Lm)) & jnp.all(dlm * dlm > pr.eig_tol)
+                M_solve = lambda b: cho_solve((Lm, True), b)  # noqa: E731
+                M_fwd = lambda b: _st(Lm, b, lower=True)  # noqa: E731
             if p == 0:
-                sol = cho_solve((Lm, True), bx)
+                sol = M_solve(bx)
                 return sol, okM & jnp.all(jnp.isfinite(sol))
             Jc = W[n:, :n]
             delta = -W[n, n]  # the (2,2) block is -δI (rho touches only x-diag)
             bc = rhs[n:]
-            Z = _st(Lm, Jc.T, lower=True)  # (n, p)
+            Z = M_fwd(Jc.T)  # solve L Z = Jcᵀ; (n, p) (+zero pad rows)
             S = delta * jnp.eye(p, dtype=W.dtype) + jnp.matmul(Z.T, Z, precision="highest")
             Ls = jnp.linalg.cholesky(S)
             okS = jnp.all(jnp.isfinite(Ls))
-            Minv_bx = cho_solve((Lm, True), bx)
+            Minv_bx = M_solve(bx)
             zl = cho_solve((Ls, True), Jc @ Minv_bx - bc)
-            zx = cho_solve((Lm, True), bx - Jc.T @ zl)
+            zx = M_solve(bx - Jc.T @ zl)
             sol = jnp.concatenate([zx, zl])
             return sol, okM & okS & jnp.all(jnp.isfinite(sol))
         fac, success = factorize(W, pr.eig_tol, n, self.linsolve, self.block_size)

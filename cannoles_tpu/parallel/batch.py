@@ -17,6 +17,8 @@ convergence statistics are reduced with ``psum``-style collectives
 from __future__ import annotations
 
 import dataclasses
+import time
+import warnings
 from typing import Any, Dict, Optional
 
 import jax
@@ -95,6 +97,7 @@ def vsolve(
     mesh: Optional[Mesh] = None,
     max_iter: int = 100,
     chunk_size: Optional[int] = None,
+    max_time: Optional[float] = None,
     **numeric,
 ) -> BatchResult:
     """Solve a batch of instances of one problem family in a single compiled
@@ -103,6 +106,14 @@ def vsolve(
     ``x0_batch``: (B, nvar).  ``data_batch``: optional pytree whose leaves
     carry a leading B axis, parameterizing per-instance problem data.  With a
     ``mesh``, the batch axis is sharded across its devices.
+
+    ``max_time``: approximate wall-clock budget in seconds (reference budget
+    semantics, CaNNOLeS.jl:123-125).  A compiled batch cannot be interrupted
+    mid-flight, so the budget is enforced *between chunks*: dispatch switches
+    to sequential host-driven chunks (``chunk_size`` lanes each, default
+    ``min(B, 1024)``), the deadline is checked after each chunk, and lanes
+    never dispatched return with status ``max_time``.  Accuracy is therefore
+    ± one chunk's solve time; requires ``mesh=None``.
     """
     problem.validate_for_solve()
     if solver is None:
@@ -115,9 +126,28 @@ def vsolve(
         )
     cfg = solver.make_config(max_iter=max_iter, **numeric)
 
+    if max_time is not None:
+        if mesh is not None:
+            raise ValueError(
+                "vsolve(max_time=...) requires mesh=None: the budget is "
+                "enforced by host-driven chunk dispatch"
+            )
+        return _vsolve_deadline(
+            solver, x0_batch, lam0_batch, data_batch, cfg, chunk_size, max_time
+        )
+
     use_chunks = (
         chunk_size is not None and mesh is None and B % chunk_size == 0 and B > chunk_size
     )
+    if chunk_size is not None and not use_chunks:
+        # silent fallback to one flat vmap would hand a user asking for
+        # straggler control a potentially much larger compile — say so
+        warnings.warn(
+            f"vsolve: chunk_size={chunk_size} ignored "
+            f"({'mesh is set' if mesh is not None else f'B={B} not a positive multiple'}); "
+            "running one flat vmap over the whole batch",
+            stacklevel=2,
+        )
     run = solver.batch_runner(
         data_batched=data_batch is not None,
         batch_shape=(B, chunk_size) if use_chunks else None,
@@ -131,4 +161,49 @@ def vsolve(
             data_batch = jax.tree.map(lambda a: jax.device_put(a, sh), data_batch)
 
     states = run(x0_batch, lam0_batch, cfg, data_batch)
+    return BatchResult(states=states)
+
+
+def _vsolve_deadline(solver, x0_batch, lam0_batch, data_batch, cfg, chunk_size, max_time):
+    """Host-driven chunked dispatch with a wall-clock deadline between chunks.
+
+    Lanes in chunks never dispatched are initialized (one residual/constraint
+    evaluation — needed for an honest terminal state) and stamped
+    ``Status.MAX_TIME`` unless the init itself already terminated them."""
+    B = x0_batch.shape[0]
+    chunk = min(B, 1024 if chunk_size is None else int(chunk_size))
+    t0 = time.time()
+
+    vrun = solver.batch_runner(data_batched=data_batch is not None, batch_shape=None)
+    cache = getattr(solver, "_vinit_fns", None)
+    if cache is None:
+        cache = solver._vinit_fns = {}
+    key = data_batch is not None
+    vinit = cache.get(key)
+    if vinit is None:
+        vinit = cache[key] = jax.jit(
+            jax.vmap(solver._init_state, in_axes=(0, 0, None, 0 if key else None))
+        )
+
+    out = []
+    expired = False
+    for lo in range(0, B, chunk):
+        hi = min(lo + chunk, B)
+        xc, lc = x0_batch[lo:hi], lam0_batch[lo:hi]
+        dc = None if data_batch is None else jax.tree.map(lambda a: a[lo:hi], data_batch)
+        if expired:
+            st = vinit(xc, lc, cfg, dc)
+            st = st._replace(
+                status=jnp.where(
+                    st.status == Status.UNKNOWN,
+                    jnp.full_like(st.status, Status.MAX_TIME),
+                    st.status,
+                )
+            )
+        else:
+            st = vrun(xc, lc, cfg, dc)
+            jax.block_until_ready(st.x)
+            expired = (time.time() - t0) > max_time
+        out.append(st)
+    states = jax.tree.map(lambda *ls: jnp.concatenate(ls, axis=0), *out)
     return BatchResult(states=states)

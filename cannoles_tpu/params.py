@@ -4,7 +4,15 @@ TPU-native restatement of the reference parameter pack
 (``/root/reference/src/CaNNOLeS.jl:36-87``, ``ParamCaNNOLeS``): every constant
 is derived from the machine epsilon of the working dtype so that the same
 algorithm runs in float64 (parity runs, CPU), float32 (TPU throughput) and
-bfloat16 (experimental).
+float16 (reference Float16 analog, tests/test_precision_trajectory.py).
+
+bfloat16 note: bf16 as a *solve dtype* is deliberately not offered as a
+supported mode — its 8-bit mantissa makes the eps-derived tolerances
+(eps^0.5 ≈ 0.09) accept meaningless points.  The TPU-native bf16 story is
+**mixed precision**: f32 state/scalars with bf16 MXU multiply passes in the
+non-critical matmuls — which is the solver's default on TPU, controlled
+explicitly via ``CaNNOLeSSolver(matmul_precision=...)``; accuracy envelope
+measured in benchmarks/bf16_envelope.py (RESULTS.md).
 
 All fields are *static* Python floats: they are fixed once the dtype is chosen,
 so they embed as compile-time constants inside jitted solver code (no tracing

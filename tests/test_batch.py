@@ -79,6 +79,47 @@ def test_vsolve_sharded_over_mesh():
     assert np.allclose(res.solution.sum(axis=1), 1.0, atol=1e-6)
 
 
+def test_vsolve_chunk_fallback_warns():
+    pb = _family()
+    x0s = jnp.broadcast_to(jnp.array([-1.2, 1.0]), (6, 2))
+    datas = jnp.ones((6, 2))
+    with pytest.warns(UserWarning, match="chunk_size=4 ignored"):
+        res = vsolve(pb, x0s, data_batch=datas, max_iter=100, chunk_size=4)
+    assert res.solved_mask().all()
+
+
+def test_vsolve_max_time_budget():
+    """Wall-clock budget inside batched solves (reference max_time semantics,
+    CaNNOLeS.jl:123-125): a tiny budget on a chunked batch must return
+    promptly with honest per-lane max_time statuses for undispatched chunks."""
+    import time as _time
+
+    from cannoles_tpu.core.status import Status
+
+    pb = _family()
+    B, chunk = 16, 4
+    rng = np.random.default_rng(2)
+    x0s = jnp.asarray(rng.normal(scale=0.2, size=(B, 2)) + np.array([-1.2, 1.0]))
+    datas = jnp.ones((B, 2))
+
+    # warm the compile outside the timed run (budget is for solve time)
+    vsolve(pb, x0s[:chunk], data_batch=datas[:chunk], max_iter=100, max_time=10.0,
+           chunk_size=chunk)
+
+    t0 = _time.time()
+    res = vsolve(pb, x0s, data_batch=datas, max_iter=100, max_time=0.0, chunk_size=chunk)
+    elapsed = _time.time() - t0
+    st = res.status
+    # first chunk always dispatches; the deadline (0 s) then expires, so the
+    # remaining lanes must be honest max_time statuses, not fake solves
+    assert res.solved_mask()[:chunk].all()
+    assert (st[chunk:] == Status.MAX_TIME).all(), st
+    assert elapsed < 30.0  # prompt return (one chunk solve + init evals)
+    # budget generous enough -> everything solves, no max_time lanes
+    res2 = vsolve(pb, x0s, data_batch=datas, max_iter=100, max_time=60.0, chunk_size=chunk)
+    assert res2.solved_mask().all(), res2.summary()
+
+
 def test_graft_entry_compiles():
     import importlib.util
     import pathlib
