@@ -52,6 +52,7 @@ __all__ = [
     "multistart",
     "solve_matfree",
     "MatrixFreeSolver",
+    "SchurBASolver",
 ]
 
 
@@ -69,4 +70,8 @@ def __getattr__(name):
         from .core import matfree
 
         return getattr(matfree, name)
+    if name == "SchurBASolver":
+        from .core.ba import SchurBASolver
+
+        return SchurBASolver
     raise AttributeError(name)
