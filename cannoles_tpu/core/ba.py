@@ -183,19 +183,14 @@ class SchurBASolver(MatrixFreeSolver):
 
         rc = (bc - jnp.einsum("cpij,pj->ci", X, bp)).reshape(6 * C)
 
-        if 6 * C >= 512:
-            from ..ops.pallas_chol import block_cho_solve, pallas_cholesky
+        # XLA's cholesky is the measured winner at reduced-system sizes
+        # (RESULTS.md owned-kernel study); ops/pallas_chol.py remains the seam
+        from jax.scipy.linalg import cho_solve
 
-            fac = pallas_cholesky(S, pr.eig_tol, nb=256)
-            okS = fac.ok
-            zc = block_cho_solve(fac, rc)
-        else:
-            from jax.scipy.linalg import cho_solve
-
-            Ls = jnp.linalg.cholesky(S)
-            dls = jnp.diagonal(Ls)
-            okS = jnp.all(jnp.isfinite(Ls)) & jnp.all(dls * dls > pr.eig_tol)
-            zc = cho_solve((Ls, True), rc)
+        Ls = jnp.linalg.cholesky(S)
+        dls = jnp.diagonal(Ls)
+        okS = jnp.all(jnp.isfinite(Ls)) & jnp.all(dls * dls > pr.eig_tol)
+        zc = cho_solve((Ls, True), rc)
 
         # back-substitute landmarks: zp = V⁻¹ (bp − Wᵀ zc)
         zc_blocks = zc.reshape(C, 6)

@@ -217,10 +217,14 @@ class CaNNOLeSSolver:
             N = problem.nvar + problem.ncon
         self.quality_gate = (N >= 16) if quality_gate is None else bool(quality_gate)
         # linsolve='chol' n-size threshold above which the owned Pallas
-        # blocked-Cholesky kernel replaces XLA's cholesky+triangular_solve
-        # (measured crossover on v5e: RESULTS.md; triangular solves dominate
-        # the XLA path beyond n ≈ 512)
-        self.pallas_chol_min = 512 if pallas_chol_min is None else int(pallas_chol_min)
+        # blocked-Cholesky kernel (ops/pallas_chol.py) replaces XLA's
+        # cholesky.  Default OFF: device-side measurement on v5e (RESULTS.md
+        # "owned-kernel study") shows XLA's cholesky is 3-8x faster at
+        # N = 512-2048 inside a compiled program, so wiring the owned kernel
+        # as default would be a measured regression; it remains the seam for
+        # the MA57-analog pivot-signal semantics and for hardware where the
+        # balance differs (set pallas_chol_min to enable).
+        self.pallas_chol_min = (1 << 31) if pallas_chol_min is None else int(pallas_chol_min)
         # in-loop exact-inertia retry at rho-ladder exhaustion (the
         # two-backend seam of the reference run per-iteration); meaningless
         # for the already-exact eigh backend

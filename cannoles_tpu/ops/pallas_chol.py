@@ -60,47 +60,125 @@ def _chol_block_kernel(A_ref, L_ref, Linv_ref, d_ref, *, nb: int, tol: float):
     Everything lives in VMEM; the two substitution loops are VPU work with a
     (1, nb) row matmul per step (MXU) for the inverse.
     """
-    dtype = A_ref.dtype
     rows = lax.broadcasted_iota(jnp.int32, (nb, nb), 0)
     cols = lax.broadcasted_iota(jnp.int32, (nb, nb), 1)
-    rcol = rows[:, :1]  # (nb, 1)
-    crow = cols[:1, :]  # (1, nb)
+    Lv, Minv, Dv = _factor_block_inline(
+        A_ref[:], tol, nb, rows, cols, lax.Precision.HIGHEST
+    )
+    L_ref[:] = Lv
+    Linv_ref[:] = Minv
+    d_ref[:] = Dv
+
+
+def _factor_block_inline(Akk, tol: float, nb: int, rows, cols, precision):
+    """Trace-level helper: factor one (nb, nb) block and invert its L —
+    shared by the per-block pallas kernel and the fused whole-matrix kernel
+    (pure jnp on values, works in both contexts)."""
+    dtype = Akk.dtype
+    rcol = rows[:, :1]
+    crow = cols[:1, :]
 
     def fact_step(t, carry):
         P, L, D = carry
-        col = jnp.sum(jnp.where(cols == t, P, 0.0), axis=1, keepdims=True)  # (nb,1)
+        col = jnp.sum(jnp.where(cols == t, P, 0.0), axis=1, keepdims=True)
         d = jnp.sum(jnp.where(rcol == t, col, 0.0))
         ok = d > tol
         piv = jnp.sqrt(jnp.where(ok, d, 1.0))
         inv = jnp.where(ok, 1.0 / piv, 0.0)
-        lcol = jnp.where(rcol > t, col * inv, 0.0)  # strict-lower scaled column
+        lcol = jnp.where(rcol > t, col * inv, 0.0)
         lfull = lcol + jnp.where(rcol == t, jnp.where(ok, piv, 0.0), 0.0)
         L = L + lfull * (cols == t).astype(dtype)
         D = D + jnp.where(rcol == t, d, 0.0)
-        # trailing rank-1 update: lcol is zero at rows <= t, so only the
-        # strictly-trailing block changes
         P = P - lcol * lcol.T
         return P, L, D
 
-    P0 = A_ref[:]
-    L0 = jnp.zeros_like(P0)
-    D0 = jnp.zeros_like(P0, shape=(nb, 1))
-    _, Lv, Dv = lax.fori_loop(0, nb, fact_step, (P0, L0, D0))
-    L_ref[:] = Lv
-    d_ref[:] = Dv
+    _, Lv, Dv = lax.fori_loop(
+        0, nb, fact_step,
+        (Akk, jnp.zeros_like(Akk), jnp.zeros_like(Akk, shape=(nb, 1))),
+    )
 
     def inv_step(t, Minv):
-        # row t of L⁻¹ = (e_t − L[t, :t] · Minv[:t]) / L[t, t]
-        Lrow = jnp.sum(jnp.where(rows == t, Lv, 0.0), axis=0, keepdims=True)  # (1,nb)
+        Lrow = jnp.sum(jnp.where(rows == t, Lv, 0.0), axis=0, keepdims=True)
         Lrow_strict = jnp.where(crow < t, Lrow, 0.0)
-        acc = jnp.dot(Lrow_strict, Minv, preferred_element_type=dtype)  # (1,nb)
+        acc = jax.lax.dot_general(
+            Lrow_strict, Minv, (((1,), (0,)), ((), ())),
+            precision=precision, preferred_element_type=dtype,
+        )
         piv = jnp.sum(jnp.where(crow == t, Lrow, 0.0))
         okt = piv > 0
         inv_t = jnp.where(okt, 1.0 / jnp.where(okt, piv, 1.0), 0.0)
         row_new = ((crow == t).astype(dtype) - acc) * inv_t
         return Minv + row_new * (rows == t).astype(dtype)
 
-    Linv_ref[:] = lax.fori_loop(0, nb, inv_step, jnp.zeros_like(P0))
+    Minv = lax.fori_loop(0, nb, inv_step, jnp.zeros_like(Akk))
+    return Lv, Minv, Dv
+
+
+def _chol_fused_kernel(A_ref, L_ref, Linv_ref, d_ref, *, N, nb, tol):
+    """Whole-matrix blocked Cholesky in ONE pallas program.
+
+    The blocked driver around per-block kernels loses to XLA at N ≥ 512:
+    at condensed-KKT sizes the factorization is *launch-latency* bound
+    (4096³/3 flops ≈ 0.12 ms at peak vs ~4 ms wall), so the win is doing
+    every panel factor, panel solve and trailing matmul inside one kernel
+    with the working matrix resident in VMEM.  ``A_ref`` is aliased onto
+    ``L_ref`` (input_output_aliases): the elimination runs fully in place —
+    panel k overwrites its own columns with L while the trailing block still
+    holds A — so a single (N, N) buffer serves as both, and N ≤ ~1280 fits
+    f32 VMEM.  Static Python unroll over K = N/nb panels: slices are
+    compile-time constant; matmuls ride the MXU via dot_general.
+    """
+    del A_ref  # same buffer as L_ref
+    K = N // nb
+    prec = lax.Precision.HIGHEST
+    rows = lax.broadcasted_iota(jnp.int32, (nb, nb), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (nb, nb), 1)
+    for k in range(K):
+        j0, j1 = k * nb, (k + 1) * nb
+        Akk = L_ref[j0:j1, j0:j1]
+        Lkk, Minv, Dk = _factor_block_inline(Akk, tol, nb, rows, cols, prec)
+        L_ref[j0:j1, j0:j1] = Lkk
+        Linv_ref[k] = Minv
+        d_ref[j0:j1, :] = Dk
+        if j1 < N:
+            A21 = L_ref[j1:N, j0:j1]
+            L21 = lax.dot_general(
+                A21, Minv, (((1,), (1,)), ((), ())),  # A21 @ Minvᵀ
+                precision=prec, preferred_element_type=Lkk.dtype,
+            )
+            L_ref[j1:N, j0:j1] = L21
+            L_ref[j1:N, j1:N] = L_ref[j1:N, j1:N] - lax.dot_general(
+                L21, L21, (((1,), (1,)), ((), ())),
+                precision=prec, preferred_element_type=Lkk.dtype,
+            )
+    # strict upper triangle still holds stale A values: zero it so L is a
+    # true lower-triangular factor
+    rN = lax.broadcasted_iota(jnp.int32, (N, N), 0)
+    cN = lax.broadcasted_iota(jnp.int32, (N, N), 1)
+    L_ref[:] = jnp.where(cN > rN, 0.0, L_ref[:])
+
+
+@functools.lru_cache(maxsize=None)
+def _build_fused_call(N: int, nb: int, tol: float, dtype_str: str, interpret: bool):
+    dtype = jnp.dtype(dtype_str)
+    K = N // nb
+    kernel = functools.partial(_chol_fused_kernel, N=N, nb=nb, tol=tol)
+    return pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, N), dtype),
+            jax.ShapeDtypeStruct((K, nb, nb), dtype),
+            jax.ShapeDtypeStruct((N, 1), dtype),
+        ],
+        input_output_aliases={0: 0},
+        interpret=interpret,
+    )
 
 
 @functools.lru_cache(maxsize=None)
@@ -167,6 +245,16 @@ def pallas_cholesky(A: jax.Array, tol: float, nb: int = 256) -> BlockCholFactori
         P = jnp.eye(N, dtype=dtype)
         A = P.at[:N0, :N0].set(A)
     K = N // nb
+
+    # single-launch fused kernel while the (N, N) working buffer fits VMEM
+    # (in-place via input/output aliasing; f32 1280² = 6.6 MB).  Beyond that,
+    # the blocked driver below alternates per-block kernels with XLA matmuls.
+    if N * N * jnp.dtype(dtype).itemsize <= 1280 * 1280 * 4:
+        call = _build_fused_call(N, nb, float(tol), str(dtype), not _is_tpu())
+        L, Linv, d2 = call(A)
+        d = d2[:, 0]
+        ok = jnp.all(jnp.isfinite(L)) & jnp.all(d[:N0] > tol)
+        return BlockCholFactorization(L, Linv, d, ok, N0, nb)
 
     L = jnp.zeros((N, N), dtype=dtype)
     Linvs = []
