@@ -262,6 +262,16 @@ class CaNNOLeSSolver:
         if matmul_precision not in (None, "highest", "float32", "bfloat16", "tensorfloat32"):
             raise ValueError(f"unknown matmul_precision {matmul_precision!r}")
         self.matmul_precision = matmul_precision
+        # The J'J condensation and the quality-gate residual are pinned to
+        # 'highest' in mixed (None) mode — they are the conditioning-critical
+        # contractions (measured: 65/256 batched BA scenes solved with bf16
+        # condensation vs 256/256 pinned).  An EXPLICIT matmul_precision is a
+        # full commitment: those contractions follow it too (measured on the
+        # 8192x1024 rung: 3.2 -> 2.3 ms/solve for 'bfloat16', same iteration
+        # count, err 4.5e-5 -> 7.9e-5).
+        self._critical_precision = (
+            "highest" if matmul_precision is None else matmul_precision
+        )
         # jitted entry points (compiled lazily on first call)
         self._init_fn = self._jit(self._init_state)
         self._outer_fn = self._jit(self._outer_step)
@@ -411,10 +421,11 @@ class CaNNOLeSSolver:
         pb = self.problem
         n, p = pb.nvar, pb.ncon
         dtype = H.dtype
-        # precision='highest': TPU f32 matmuls default to bf16 multiplies,
-        # which destroys the conditioning of J'J (measured: 65/256 batched
-        # BA scenes solved vs 256/256 with full-f32 arithmetic)
-        M = H + jnp.matmul(Jx.T, Jx, precision="highest")
+        # critical precision (default 'highest'): TPU f32 matmuls default to
+        # bf16 multiplies, which destroys the conditioning of J'J (measured:
+        # 65/256 batched BA scenes solved vs 256/256 with full-f32
+        # arithmetic); an explicit matmul_precision overrides (see __init__)
+        M = H + jnp.matmul(Jx.T, Jx, precision=self._critical_precision)
         if p == 0:
             return M
         K = jnp.zeros((n + p, n + p), dtype=dtype)
@@ -440,7 +451,7 @@ class CaNNOLeSSolver:
         dtype = W.dtype
         N = W.shape[-1]
         tol = float(jnp.finfo(dtype).eps) ** 0.75 * N
-        res = rhs - jnp.matmul(W, sol, precision="highest")
+        res = rhs - jnp.matmul(W, sol, precision=self._critical_precision)
         scale = norm_inf(rhs) + jnp.max(jnp.abs(W)) * norm_1(sol)
         return norm_inf(res) <= tol * (scale + jnp.asarray(1e-30, dtype))
 
