@@ -31,6 +31,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cams", type=int, default=100)
     ap.add_argument("--pts", type=int, default=10_000)
+    ap.add_argument("--gauge", choices=["constraints", "fixed"], default="fixed")
     ap.add_argument("--json", default=None)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--skip-matfree", action="store_true")
@@ -48,11 +49,51 @@ def main():
     from cannoles_tpu.models.ba_large import large_bundle_adjustment
 
     C, P = args.cams, args.pts
-    print(f"# scene: {C} cams x {P} pts -> nvar={6*C+3*P}, nequ={2*C*P}", flush=True)
-    pb, x_true = large_bundle_adjustment(C, P, noise=0.0, seed=0, dtype=jnp.float32)
-    tol = dict(atol=1e-10, rtol=0.0, max_iter=40)
+    print(
+        f"# scene: {C} cams x {P} pts (gauge={args.gauge}) -> "
+        f"nvar={6*C+3*P}, nequ={2*C*P}",
+        flush=True,
+    )
+    pb, x_true = large_bundle_adjustment(
+        C, P, noise=0.0, seed=0, gauge=args.gauge, dtype=jnp.float32
+    )
+    # reference benchmark protocol tolerances (docs/src/benchmark.md:26-47:
+    # atol=0, rtol=1e-5) — f32-reachable on the gauge-fixed formulation;
+    # f64-grade absolute targets are not (conditioning of the f32 normal
+    # equations)
+    tol = dict(atol=0.0, rtol=1e-5, max_iter=60)
+    frozen = (
+        np.asarray(pb.data["gidx"]) if args.gauge == "fixed" else None
+    )
 
-    out = {"cams": C, "pts": P, "nvar": pb.nvar, "nequ": pb.nequ}
+    out = {"cams": C, "pts": P, "gauge": args.gauge, "nvar": pb.nvar, "nequ": pb.nequ}
+
+    def device_solve_time(solver, iters_hint):
+        """Device-side full-solve seconds via in-graph repetition
+        differencing (the axon tunnel adds ~25 ms per dispatch and the
+        host-driven solve dispatches once per outer iteration)."""
+        import jax.numpy as jnp
+        from jax import lax
+
+        cfg = solver.make_config(**tol)
+
+        def mk(R):
+            @jax.jit
+            def f(x0):
+                def body(i, acc):
+                    st = solver._run_compiled(x0 + acc * 1e-9, pb.y0, cfg, pb.data)
+                    return acc + st.x[0]
+                return lax.fori_loop(0, R, body, jnp.zeros((), jnp.float32))
+            return f
+
+        f1, f2 = mk(1), mk(3)
+        for f in (f1, f2):
+            float(f(pb.x0))
+        def t(f):
+            t0 = time.perf_counter()
+            float(f(pb.x0))
+            return time.perf_counter() - t0
+        return (min(t(f2) for _ in range(2)) - min(t(f1) for _ in range(2))) / 2
 
     def run(name, solver):
         t0 = time.time()
@@ -70,11 +111,15 @@ def main():
             "nfact": st.solver_specific["nfact"],
             "ncg": st.solver_specific["ncg"],
         }
+        try:
+            row["device_solve_s"] = round(device_solve_time(solver, st.iter), 3)
+        except Exception as e:  # noqa: BLE001
+            row["device_solve_s"] = f"failed: {e}"
         out[name] = row
         print(f"# {name}: {row}", flush=True)
         return st
 
-    run("schur", SchurBASolver(pb, C, P, method="gauss_newton"))
+    run("schur", SchurBASolver(pb, C, P, method="gauss_newton", frozen_cam_coords=frozen))
     if not args.skip_matfree:
         run("matfree_cg", MatrixFreeSolver(pb, method="gauss_newton", cg_maxiter=600))
 

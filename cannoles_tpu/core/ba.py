@@ -44,6 +44,7 @@ import numpy as np
 
 from ..params import Params
 from ..problem import NLSProblem
+from ..utils.linalg import norm_2
 from .matfree import MatrixFreeSolver
 
 __all__ = ["SchurBASolver", "inv3x3_sym"]
@@ -101,6 +102,7 @@ class SchurBASolver(MatrixFreeSolver):
         *,
         project: Optional[Callable] = None,
         method: str = "gauss_newton",
+        frozen_cam_coords=None,
         params: Optional[Params] = None,
         dtype=None,
     ):
@@ -117,6 +119,19 @@ class SchurBASolver(MatrixFreeSolver):
         if project is None:
             from ..models.ba_large import project_point as project
         self.project = project
+        # frozen-gauge camera coordinates (models/ba_large.py gauge="fixed"):
+        # the residual freezes these by projection, so their true Jacobian
+        # columns are exactly zero — mask the analytically-built A blocks to
+        # match (U gains pure rho diagonal there; the step is exactly zero)
+        if frozen_cam_coords is not None:
+            idx = np.asarray(frozen_cam_coords, dtype=np.int64)
+            if idx.size and (idx.min() < 0 or idx.max() >= 6 * self.C):
+                raise ValueError("frozen_cam_coords must index the camera block")
+            mask = np.ones(6 * self.C, dtype=np.float64)
+            mask[idx] = 0.0
+            self._cam_mask = jnp.asarray(mask.reshape(self.C, 6))
+        else:
+            self._cam_mask = None
         if problem.ncon > 0:
             # gauge constraints must not touch landmarks (else the arrowhead
             # elimination is wrong); check the actual Jacobian once at x0
@@ -142,6 +157,8 @@ class SchurBASolver(MatrixFreeSolver):
 
         A, B = jax.vmap(lambda c: jax.vmap(lambda p: jac_one(c, p))(pts))(cams)
         # A: (C, P, 2, 6); B: (C, P, 2, 3) — all contractions below are MXU
+        if self._cam_mask is not None:
+            A = A * self._cam_mask.astype(A.dtype)[:, None, None, :]
         U = jnp.einsum("cpki,cpkj->cij", A, A, precision="highest")
         V = jnp.einsum("cpki,cpkj->pij", B, B, precision="highest")
         W = jnp.einsum("cpki,cpkj->cpij", A, B, precision="highest")
@@ -168,8 +185,16 @@ class SchurBASolver(MatrixFreeSolver):
         bc = bx[: 6 * C].reshape(C, 6)
         bp = bx[6 * C :].reshape(P, 3)
 
-        # landmark elimination: P independent closed-form 3x3 inverses
-        Vinv, posdef = inv3x3_sym(V, pr.eig_tol)
+        # landmark elimination: P independent closed-form 3x3 inverses.
+        # Jacobi-scale each block first (D^-1/2 V D^-1/2 has unit diagonal):
+        # f32 BA Hessian blocks span ~8 orders of magnitude across depth
+        # scales, and the adjugate inverse loses the small pivots without
+        # scaling; the posdef minors test also becomes scale-relative.
+        dV = jnp.diagonal(V, axis1=-2, axis2=-1)  # (P, 3)
+        sV = jax.lax.rsqrt(jnp.maximum(dV, 1e-30))
+        Vs = V * sV[..., :, None] * sV[..., None, :]
+        Vsinv, posdef = inv3x3_sym(Vs, pr.eig_tol)
+        Vinv = Vsinv * sV[..., :, None] * sV[..., None, :]
         X = jnp.einsum("cpij,pjk->cpik", W, Vinv)  # W V⁻¹, (C, P, 6, 3)
 
         # reduced camera system S = diag(U) + Dc − Σₚ X W ᵀ  (6C, 6C)
@@ -187,16 +212,59 @@ class SchurBASolver(MatrixFreeSolver):
         # (RESULTS.md owned-kernel study); ops/pallas_chol.py remains the seam
         from jax.scipy.linalg import cho_solve
 
-        Ls = jnp.linalg.cholesky(S)
+        # Jacobi-scaled camera system (Ceres-style): unit diagonal before
+        # Cholesky keeps the f32 factorization honest across camera scales
+        # and makes the pivot test relative
+        dSd = jnp.diagonal(S)
+        sS = jax.lax.rsqrt(jnp.maximum(dSd, 1e-30))
+        Ss = S * sS[:, None] * sS[None, :]
+        Ls = jnp.linalg.cholesky(Ss)
         dls = jnp.diagonal(Ls)
         okS = jnp.all(jnp.isfinite(Ls)) & jnp.all(dls * dls > pr.eig_tol)
-        zc = cho_solve((Ls, True), rc)
 
-        # back-substitute landmarks: zp = V⁻¹ (bp − Wᵀ zc)
-        zc_blocks = zc.reshape(C, 6)
-        wtz = jnp.einsum("cpij,ci->pj", W, zc_blocks)
-        zp = jnp.einsum("pij,pj->pi", Vinv, bp - wtz)
+        def schur_solve(bcv, bpv):
+            """One arrowhead solve reusing Vinv / X / Ls."""
+            rcv = (bcv - jnp.einsum("cpij,pj->ci", X, bpv)).reshape(6 * C)
+            zcv = (sS * cho_solve((Ls, True), sS * rcv)).reshape(C, 6)
+            wtz = jnp.einsum("cpij,ci->pj", W, zcv)
+            zpv = jnp.einsum("pij,pj->pi", Vinv, bpv - wtz)
+            return zcv, zpv
 
-        zx = jnp.concatenate([zc, zp.reshape(3 * P)]).astype(dtype)
-        ok = jnp.all(posdef) & okS & jnp.all(jnp.isfinite(zx))
+        def matvec(v):
+            """The exact condensed operator (same as the parent's CG matvec)."""
+            out = rho * v + pb.jtprod_res(x, pb.jprod_res(x, v, data), data)
+            if pb.ncon > 0:
+                out = out + pb.jtprod_cons(x, pb.jprod_cons(x, v, data), data) / delta
+            return out
+
+        zc, zp = schur_solve(bc, bp)
+        zx = jnp.concatenate([zc.reshape(6 * C), zp.reshape(3 * P)])
+        # one pass of operator-level iterative refinement: the closed-form
+        # 3x3 adjugate inverses and the f32 einsum chain lose ~3-4 digits on
+        # ill-conditioned scenes; the residual correction (2 jvp/vjp pairs +
+        # one reused arrowhead back-solve) recovers them
+        res = bx - matvec(zx)
+        dzc, dzp = schur_solve(res[: 6 * C].reshape(C, 6), res[6 * C :].reshape(P, 3))
+        zx = zx + jnp.concatenate([dzc.reshape(6 * C), dzp.reshape(3 * P)])
+        zx = zx.astype(dtype)
+        # backward-error gate (the dense backend's quality-gate analog): a
+        # near-singular landmark block can pass the minors test yet yield an
+        # exploding step that refinement cannot repair — demote such
+        # attempts to failures so the rho ladder regularizes and retries.
+        # Acceptance is the inexact-Newton forcing bound (eta = 0.1), not
+        # the tight CG tolerance: at production scale the f32 Schur system's
+        # conditioning makes cg_rtol-level residuals unattainable for ANY
+        # solver, while an eta-inexact direction is still a provably useful
+        # Newton step (Dembo–Eisenstat–Steihaug); garbage steps have
+        # relres >~ 1 and are cleanly separated.
+        res2 = bx - matvec(zx)
+        nb2 = norm_2(bx)
+        relres = norm_2(res2) / jnp.where(nb2 > 0, nb2, 1.0)
+        eta = jnp.maximum(jnp.asarray(self.cg_rtol * 10, dtype), 0.1)
+        ok = (
+            jnp.all(posdef)
+            & okS
+            & jnp.all(jnp.isfinite(zx))
+            & (relres <= eta)
+        )
         return zx, ok, jnp.ones((), jnp.int32)

@@ -57,6 +57,7 @@ def large_bundle_adjustment(
     n_pts: int = 10_000,
     noise: float = 0.0,
     seed: int = 0,
+    gauge: str = "constraints",
     dtype=jnp.float32,
 ) -> Tuple[NLSProblem, np.ndarray]:
     """Synthesize one consistent large scene; returns (problem, x_true).
@@ -65,6 +66,18 @@ def large_bundle_adjustment(
     the raveled (C, P, 2) reprojection error — evaluated as one batched
     vmap-of-vmap of :func:`project_point` (pure MXU/VPU work, no Python
     loops), so jvp/vjp through it stay cheap for the matrix-free surface.
+
+    ``gauge``: how the 7-dof similarity gauge freedom is removed —
+
+    * ``"constraints"`` (default): equality constraints on the camera block
+      (pose 0 pinned + squared baseline fixed) — exercises the constrained
+      KKT machinery; in f32 the long-range constraint-deformation coupling
+      limits attainable accuracy at extreme scale (RESULTS.md).
+    * ``"fixed"``: gauge parameters (pose 0's six + camera 1's x
+      translation) are frozen by projection inside the residual — their
+      Jacobian columns are exactly zero, the rho regularizer makes those
+      coordinates trivially stationary, and the problem is unconstrained:
+      the production BA formulation, far better conditioned in f32.
     """
     rng = np.random.default_rng(seed)
     C, P = n_cams, n_pts
@@ -83,39 +96,63 @@ def large_bundle_adjustment(
     def _proj_grid(cams, pts):
         return jax.vmap(lambda c: jax.vmap(lambda p: project_point(c, p))(pts))(cams)
 
-    obs = np.asarray(
-        _proj_grid(jnp.asarray(cams_true, dtype=jnp.float64), jnp.asarray(X_true))
-    )
+    # observations at the widest available precision (f64 when x64 is on,
+    # f32 on TPU — the residual then carries ~1e-7 synthesis rounding)
+    obs = np.asarray(_proj_grid(jnp.asarray(cams_true), jnp.asarray(X_true)))
     obs = obs + noise * rng.normal(size=obs.shape)
-
-    def residual(x, d):
-        cams = x[: 6 * C].reshape(C, 6)
-        pts = x[6 * C :].reshape(P, 3)
-        return (_proj_grid(cams, pts) - d["obs"]).reshape(-1)
 
     base2 = float(np.sum((t_true[1] - t_true[0]) ** 2))
     pose0 = cams_true[0].copy()
+    # frozen-gauge coordinate set: pose 0 (6) + camera 1's x translation (1).
+    # The scale mode acts about camera 0's center, so the pinning coordinate
+    # must differ strongly between the two cameras: t_x spans the arc
+    # (|t1x − t0x| ~ 1), whereas t_z is nearly common — pinning z would
+    # leave a near-null scale mode and a ~1e-4-wide minimizer plateau.
+    gauge_idx = np.concatenate([np.arange(6), [9]])
+    gauge_vals = x_true[gauge_idx].copy()
 
-    def cons(x, d):
-        c_pin = x[:6] - d["pose0"]
-        t0, t1 = x[3:6], x[9:12]
-        c_scale = jnp.array([jnp.sum((t1 - t0) ** 2)]) - d["base2"]
-        return jnp.concatenate([c_pin, c_scale])
+    if gauge == "fixed":
+
+        def residual(x, d):
+            x_eff = x.at[d["gidx"]].set(d["gvals"])
+            cams = x_eff[: 6 * C].reshape(C, 6)
+            pts = x_eff[6 * C :].reshape(P, 3)
+            return (_proj_grid(cams, pts) - d["obs"]).reshape(-1)
+
+        cons = None
+    else:
+
+        def residual(x, d):
+            cams = x[: 6 * C].reshape(C, 6)
+            pts = x[6 * C :].reshape(P, 3)
+            return (_proj_grid(cams, pts) - d["obs"]).reshape(-1)
+
+        def cons(x, d):
+            c_pin = x[:6] - d["pose0"]
+            t0, t1 = x[3:6], x[9:12]
+            c_scale = jnp.array([jnp.sum((t1 - t0) ** 2)]) - d["base2"]
+            return jnp.concatenate([c_pin, c_scale])
 
     x0 = x_true + 0.01 * rng.normal(size=x_true.shape)
     x0[:6] = pose0
+    if gauge == "fixed":
+        x0[gauge_idx] = gauge_vals
+    data = {
+        "obs": jnp.asarray(obs, dtype=dtype),
+        "pose0": jnp.asarray(pose0, dtype=dtype),
+        "base2": jnp.asarray([base2], dtype=dtype),
+    }
+    if gauge == "fixed":
+        data["gidx"] = jnp.asarray(gauge_idx, dtype=jnp.int32)
+        data["gvals"] = jnp.asarray(gauge_vals, dtype=dtype)
     pb = nls_problem(
         residual,
         jnp.asarray(x0, dtype=dtype),
         2 * C * P,
         cons,
-        np.zeros(7),
-        np.zeros(7),
-        data={
-            "obs": jnp.asarray(obs, dtype=dtype),
-            "pose0": jnp.asarray(pose0, dtype=dtype),
-            "base2": jnp.asarray([base2], dtype=dtype),
-        },
-        name=f"ba_large_{C}c{P}p",
+        None if cons is None else np.zeros(7),
+        None if cons is None else np.zeros(7),
+        data=data,
+        name=f"ba_large_{C}c{P}p_{gauge}",
     )
     return pb, x_true

@@ -75,6 +75,29 @@ def test_schur_ba_converges_and_matches_matfree():
     assert st.solver_specific["ncg"] <= st.solver_specific["nfact"]
 
 
+def test_schur_ba_frozen_gauge():
+    """gauge='fixed': the unconstrained production formulation — frozen
+    coordinates have exactly-zero Jacobian columns (masked analytic blocks
+    must match the residual's projection-freeze) and must not move."""
+    pb, xt = large_bundle_adjustment(4, 40, gauge="fixed", seed=1, dtype=jnp.float64)
+    frozen = np.asarray(pb.data["gidx"])
+    # unconstrained formulation: no aug-Lagrangian multiplier floor, so
+    # tight f64 tolerances are reachable
+    tol = dict(atol=1e-11, rtol=0.0)
+    st = SchurBASolver(pb, 4, 40, frozen_cam_coords=frozen).solve(max_iter=60, **tol)
+    assert st.status in ("first_order", "small_residual"), st.status
+    sol = np.asarray(st.solution)
+    # frozen coords pinned exactly at their synthesis values
+    assert np.array_equal(sol[frozen], np.asarray(pb.x0)[frozen])
+    assert np.abs(sol - xt).max() < 1e-4
+    # agreement with the generic matrix-free engine on the same problem
+    st2 = MatrixFreeSolver(pb, cg_maxiter=500).solve(max_iter=60, **tol)
+    assert st2.status in ("first_order", "small_residual")
+    assert np.allclose(st.solution, st2.solution, atol=1e-5)
+    with pytest.raises(ValueError, match="camera block"):
+        SchurBASolver(pb, 4, 40, frozen_cam_coords=[6 * 4 + 1])
+
+
 def test_schur_ba_validation():
     pb, _ = _scene()
     with pytest.raises(ValueError, match="BA layout"):
