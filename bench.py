@@ -342,10 +342,21 @@ def main():
         if best is None or value > best:
             best = value
 
+    def attempt_twice(fn, label):
+        """Run a rung with ONE retry: the axon tunnel occasionally drops a
+        remote_compile response mid-read (observed: 'response body closed
+        before all bytes were read'); a transient failure must not cost the
+        round its payload."""
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001
+            print(f"# {label} attempt 1 failed ({e}); retrying", file=sys.stderr)
+            return fn()
+
     extra = {}
     if time.time() - t0 < budget * 0.8:
         try:
-            sps, sps_dev, solved, mfu, dt = run_ba_rung()
+            sps, sps_dev, solved, mfu, dt = attempt_twice(run_ba_rung, "BA rung")
             extra.update(
                 ba_scenes_per_s=round(sps, 1),
                 ba_scenes_per_s_device=round(sps_dev, 1),
@@ -362,7 +373,9 @@ def main():
             print(f"# BA rung failed: {e}", file=sys.stderr)
     if time.time() - t0 < budget * 0.9:
         try:
-            ms, ms_dev, ms_bf16, mfu, status, err = run_large_rung()
+            ms, ms_dev, ms_bf16, mfu, status, err = attempt_twice(
+                run_large_rung, "large rung"
+            )
             extra.update(
                 large_ms_per_solve=round(ms, 2),
                 large_ms_device=round(ms_dev, 2),
