@@ -41,6 +41,7 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from ..params import Params
 from ..problem import NLSProblem
@@ -143,8 +144,12 @@ class SchurBASolver(MatrixFreeSolver):
                 )
 
     # ------------------------------------------------------------------
-    def _blocks(self, x, rho, data):
-        """Per-observation Jacobian blocks and the assembled U, V, W."""
+    def _blocks(self, x, data):
+        """Per-observation Jacobian blocks and the assembled rho-free
+        U₀, V₀, W — everything here is independent of the regularizer, so
+        the ρ ladder reuses one computation across all its attempts (the
+        A/B builds and the (C,P) einsums are the dominant per-iteration
+        cost at production scale)."""
         C, P = self.C, self.P
         cams = x[: 6 * C].reshape(C, 6)
         pts = x[6 * C :].reshape(P, 3)
@@ -162,13 +167,88 @@ class SchurBASolver(MatrixFreeSolver):
         U = jnp.einsum("cpki,cpkj->cij", A, A, precision="highest")
         V = jnp.einsum("cpki,cpkj->pij", B, B, precision="highest")
         W = jnp.einsum("cpki,cpkj->cpij", A, B, precision="highest")
-        eye6 = jnp.eye(6, dtype=x.dtype)
-        eye3 = jnp.eye(3, dtype=x.dtype)
-        return U + rho * eye6, V + rho * eye3, W
+        return U, V, W
+
+    def _precompute(self, s):
+        """Everything the ρ ladder can share across attempts: the Jacobian
+        blocks, the rhs, and the constraint term."""
+        pb = self.problem
+        C, P = self.C, self.P
+        x, data, delta = s.x, s.data, s.delta
+        U0, V0, W = self._blocks(x, data)
+        bx = s.dual + pb.jtprod_res(x, s.prim_r, data)
+        if pb.ncon > 0:
+            bx = bx + pb.jtprod_cons(x, s.cx, data) / delta
+            Jc = pb.Jc(x, data)[:, : 6 * C]
+            Dc = jnp.matmul(Jc.T, Jc, precision="highest") / delta
+        else:
+            Dc = None
+        return U0, V0, W, bx, Dc
+
+    def _newton_system(self, s):
+        """Parent rho-ladder (matfree._newton_system) with the expensive
+        rho-independent block build hoisted out of the retry loop."""
+        pr = self.params
+        dtype = self.dtype
+        n = self.problem.nvar
+        rho_old = s.rho_old
+        pre = self._precompute(s)
+
+        from .matfree import _RhoCarry
+
+        def cond(c):
+            return (c.k == 0) | ((~c.success) & (c.rho <= pr.rho_max))
+
+        def body(c):
+            first_rho = jnp.where(
+                rho_old == 0,
+                jnp.asarray(pr.rho0, dtype),
+                jnp.maximum(jnp.asarray(pr.rho_min, dtype), pr.kappa_dec * rho_old),
+            )
+            inc = jnp.where(rho_old == 0, pr.kappa_large_inc, pr.kappa_inc)
+            rho = jnp.where(
+                c.k == 0,
+                jnp.zeros((), dtype),
+                jnp.where(c.k == 1, first_rho, c.rho * inc),
+            )
+            do = rho <= pr.rho_max
+
+            def try_f(_):
+                return self._solve_with_blocks(s, rho, pre)
+
+            def skip_f(_):
+                return c.sol, jnp.zeros((), dtype=bool), jnp.zeros((), jnp.int32)
+
+            sol, success, k = lax.cond(do, try_f, skip_f, None)
+            return _RhoCarry(
+                c.k + 1, rho, sol, success, c.nfact + do.astype(jnp.int32), c.ncg + k
+            )
+
+        out = lax.while_loop(
+            cond,
+            body,
+            _RhoCarry(
+                jnp.zeros((), jnp.int32),
+                jnp.zeros((), dtype),
+                jnp.zeros((n,), dtype),
+                jnp.zeros((), dtype=bool),
+                jnp.zeros((), jnp.int32),
+                jnp.zeros((), jnp.int32),
+            ),
+        )
+        rho_old_new = jnp.where(
+            out.rho == 0, rho_old, jnp.where(out.rho <= pr.rho_max, out.rho, rho_old)
+        )
+        return out.sol, out.success, out.rho, rho_old_new, out.nfact, out.ncg
 
     def _solve_condensed(self, s, rho):
+        """Single-attempt API (tests / parent compatibility): precompute +
+        one Schur solve."""
+        return self._solve_with_blocks(s, rho, self._precompute(s))
+
+    def _solve_with_blocks(self, s, rho, pre):
         """Direct Schur solve of (rho I + JᵀJ + JcᵀJc/δ) z = b at the current
-        iterate; replaces the parent's CG attempt.  Returns (zx, ok, 1)."""
+        iterate given precomputed rho-free blocks.  Returns (zx, ok, 1)."""
         pb, pr = self.problem, self.params
         C, P = self.C, self.P
         x, data, delta = s.x, s.data, s.delta
@@ -176,12 +256,11 @@ class SchurBASolver(MatrixFreeSolver):
         if self.method == "lm":
             rho = rho + jnp.clip(s.damp, 1e-10, 1e8)
 
-        U, V, W = self._blocks(x, rho, data)
-
-        # rhs (same b as the parent's CG path)
-        bx = s.dual + pb.jtprod_res(x, s.prim_r, data)
-        if pb.ncon > 0:
-            bx = bx + pb.jtprod_cons(x, s.cx, data) / delta
+        U0, V0, W, bx, Dc = pre
+        eye6 = jnp.eye(6, dtype=dtype)
+        eye3 = jnp.eye(3, dtype=dtype)
+        U = U0 + rho * eye6
+        V = V0 + rho * eye3
         bc = bx[: 6 * C].reshape(C, 6)
         bp = bx[6 * C :].reshape(P, 3)
 
@@ -202,9 +281,8 @@ class SchurBASolver(MatrixFreeSolver):
         S = -T.reshape(6 * C, 6 * C)
         idx = jnp.arange(C)
         S = S.reshape(C, 6, C, 6).at[idx, :, idx, :].add(U).reshape(6 * C, 6 * C)
-        if pb.ncon > 0:
-            Jc = pb.Jc(x, data)[:, : 6 * C]
-            S = S + jnp.matmul(Jc.T, Jc, precision="highest") / delta
+        if Dc is not None:
+            S = S + Dc
 
         rc = (bc - jnp.einsum("cpij,pj->ci", X, bp)).reshape(6 * C)
 
