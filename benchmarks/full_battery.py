@@ -16,10 +16,21 @@ Each problem runs with the reference default configuration (newton / full
 KKT), first with the fast unpivoted ``linsolve='ldlt'`` and — on an
 exception status — one robust ``linsolve='eigh'`` retry (the same
 ldlt-then-eigh escalation that ``cannoles(..., linsolve='auto')`` performs;
-the reference's two-backend seam, CaNNOLeS.jl:317-320).  hs27 additionally
-gets the documented ``delta_min=1e-4`` safeguard retry; the JSON summary
-records both the uniform-config solve count (``solved_uniform``) and the
-with-safeguard count (``solved``).
+the reference's two-backend seam, CaNNOLeS.jl:317-320).  Two GENERIC
+rescues then apply to every problem (no per-problem flags):
+
+* still unsolved → one retry with the documented ``delta_min=1e-4``
+  safeguard (tames the δ-schedule thrash signature: the aug-Lagrangian
+  multiplier update λ ← λ − c/δ amplifies roundoff at the reference
+  δmin = √eps on near-degenerate constraints);
+* unsolved, or first_order at an objective measurably above the known
+  optimum (a local minimum — the reference would simply return it) →
+  one batched multistart sweep (the TPU-native rescue: 64 perturbed
+  starts in one compiled vsolve).
+
+The JSON summary records the uniform-config solve count
+(``solved_uniform``), the with-rescue count (``solved``), and which rescue
+fired per row.
 
 Usage:  python benchmarks/full_battery.py [--cpu] [--json out.json]
 """
@@ -80,6 +91,10 @@ def main():
         force_cpu()
 
     from cannoles_tpu import CaNNOLeSSolver
+    from cannoles_tpu.parallel.multistart import multistart
+
+    def _ok(st):
+        return st.status in ("first_order", "small_residual")
 
     rows = []
     for family, name, make, fstar in collect():
@@ -91,18 +106,37 @@ def main():
             if stats.status == "exception":
                 solver = CaNNOLeSSolver(pb, linsolve="eigh")
                 stats = solver.solve(atol=0.0, rtol=1e-5, max_time=args.max_time)
-            solved_uniform = stats.status in ("first_order", "small_residual")
-            safeguarded = False
-            if name == "hs27" and not solved_uniform:
-                stats = CaNNOLeSSolver(pb, linsolve="ldlt", delta_min=1e-4).solve(
+            solved_uniform = _ok(stats)
+            rescue = None
+            # generic rescue 1: unsolved → documented delta_min safeguard
+            if not _ok(stats):
+                st2 = CaNNOLeSSolver(pb, linsolve="ldlt", delta_min=1e-4).solve(
                     atol=0.0, rtol=1e-5, max_time=args.max_time
                 )
-                safeguarded = stats.status in ("first_order", "small_residual")
+                if _ok(st2):
+                    stats, rescue = st2, "delta_min"
+            # generic rescue 2: unsolved, or stationary above the known
+            # optimum (local minimum) → batched multistart sweep
+            local_min = (
+                _ok(stats)
+                and fstar is not None
+                and 2 * stats.objective > fstar + 1e-4 * (1 + abs(fstar))
+            )
+            if not _ok(stats) or local_min:
+                # bounded sweep: wildly-perturbed starts on stiff problems
+                # (meyer-class exponentials) can otherwise burn the full
+                # 100k-eval budget in vmapped inner loops per lane
+                st3 = multistart(
+                    pb, n_starts=64, atol=0.0, rtol=1e-5,
+                    max_inner=100, max_eval=5000,
+                )
+                if _ok(st3) and (not _ok(stats) or st3.objective < stats.objective):
+                    stats, rescue = st3, "multistart"
             row = dict(
                 family=family, name=name, nvar=pb.nvar, nequ=pb.nequ,
                 ncon=pb.ncon, status=stats.status,
-                solved=stats.status in ("first_order", "small_residual"),
-                solved_uniform=solved_uniform, safeguarded=safeguarded,
+                solved=_ok(stats),
+                solved_uniform=solved_uniform, rescue=rescue,
                 iter=stats.iter, fsumsq=2 * stats.objective, fstar=fstar,
                 dual_feas=stats.dual_feas, primal_feas=stats.primal_feas,
                 time=time.time() - t0,
@@ -111,7 +145,7 @@ def main():
             row = dict(
                 family=family, name=name, nvar=-1, nequ=-1, ncon=-1,
                 status=f"error:{e}", solved=False, solved_uniform=False,
-                safeguarded=False, iter=-1,
+                rescue=None, iter=-1,
                 fsumsq=float("nan"), fstar=fstar, dual_feas=float("nan"),
                 primal_feas=float("nan"), time=time.time() - t0,
             )

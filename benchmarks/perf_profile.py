@@ -4,6 +4,15 @@ analog of the reference's SolverBenchmark recipe
 (``/root/reference/docs/src/benchmark.md:95-99``: profiles on elapsed_time
 and neval_residual).
 
+The reference protocol is explicitly *comparative* (vs tron/trunk,
+docs/src/benchmark.md:26-47); no Julia toolchain exists in this container,
+so the external comparator is ``scipy.optimize.least_squares`` (TRF and LM —
+the standard production NLS solvers) over the unconstrained battery.
+Fairness rules: scipy gets the same analytic-AD Jacobian (jitted, warmed
+before timing), the same ``atol=0 / rtol=1e-5`` budget, and its result is
+judged by OUR first-order criterion evaluated at its solution (scipy's own
+ftol/xtol statuses are not trusted as 'solved').
+
     python benchmarks/perf_profile.py --cpu
 """
 
@@ -47,9 +56,14 @@ def main():
         ("gauss_newton/condensed", dict(method="gauss_newton", kkt="condensed")),
         ("lm/condensed", dict(method="lm", kkt="condensed")),
     ]
-    problems = [(s.name, s.make) for s in mgh_suite()] + [
-        (s.name, s.make) for s in hs_suite()
+    base = mgh_suite()
+    problems = [(s.name, s.make) for s in base]
+    seen = {s.name for s in base}
+    # extended dimensional MGH variants → the 55-problem unconstrained set
+    problems += [
+        (s.name, s.make) for s in mgh_suite(extended=True) if s.name not in seen
     ]
+    problems += [(s.name, s.make) for s in hs_suite()]
 
     time_costs = np.full((len(problems), len(configs)), np.inf)
     eval_costs = np.full_like(time_costs, np.inf)
@@ -72,15 +86,82 @@ def main():
             for j in range(len(configs))
         ), flush=True)
 
+    # ---- external comparator: scipy.optimize.least_squares (TRF, LM) ----
+    # unconstrained battery only (scipy least_squares has no equality
+    # constraints); solved ⇔ our first-order criterion holds at its answer
+    import jax
+    import jax.numpy as jnp
+    from scipy.optimize import least_squares
+
+    uncon_idx = []
+    scipy_names = ["scipy-trf", "scipy-lm"]
+    scipy_time = np.full((len(problems), 2), np.inf)
+    scipy_eval = np.full((len(problems), 2), np.inf)
+    for i, (pname, make) in enumerate(problems):
+        pb = make()
+        if pb.ncon > 0:
+            continue
+        uncon_idx.append(i)
+        F = jax.jit(lambda x, pb=pb: pb.F(jnp.asarray(x), pb.data))
+        J = jax.jit(lambda x, pb=pb: pb.J(jnp.asarray(x), pb.data))
+        x0 = np.asarray(pb.x0, float)
+        g0 = np.abs(np.asarray(J(x0)).T @ np.asarray(F(x0))).max()
+        epstol = 0.0 + 1e-5 * g0  # the protocol's ϵtol = atol + rtol·‖∇L⁰‖
+        fun = lambda x: np.asarray(F(x))  # noqa: E731
+        jac = lambda x: np.asarray(J(x))  # noqa: E731
+        fun(x0), jac(x0)  # warm the jit (our timings exclude compile too)
+        for k, smethod in enumerate(("trf", "lm")):
+            if smethod == "lm" and pb.nequ < pb.nvar:
+                continue  # scipy 'lm' requires m >= n
+            try:
+                t0 = time.perf_counter()
+                r = least_squares(
+                    fun, x0, jac=jac, method=smethod,
+                    xtol=1e-12, ftol=1e-12, gtol=1e-12, max_nfev=100000,
+                )
+                dt = time.perf_counter() - t0
+                gend = np.abs(jac(r.x).T @ fun(r.x)).max()
+                # small-residual exit, reference default Fatol = √eps
+                # (2√fx ≤ Fatol + Frtol·2√fx⁰ with the Frtol·eps term moot)
+                small = 2 * np.sqrt(float(r.cost)) <= np.sqrt(
+                    float(np.finfo(np.float64).eps)
+                )
+                if gend <= epstol or small:
+                    scipy_time[i, k] = dt
+                    scipy_eval[i, k] = r.nfev
+            except Exception:
+                pass
+        print(
+            f"{pname:28s} scipy trf:"
+            f"{'ok' if np.isfinite(scipy_time[i, 0]) else '--'} "
+            f"lm:{'ok' if np.isfinite(scipy_time[i, 1]) else '--'}",
+            flush=True,
+        )
+
     taus = np.array([1.0, 2.0, 5.0, 10.0, 100.0])
     prof_t = performance_profile(time_costs, taus)
     prof_e = performance_profile(eval_costs, taus)
     names = [c[0] for c in configs]
+
+    # joint unconstrained profile: our configs + scipy columns
+    ui = np.asarray(uncon_idx, int)
+    ucols_t = np.concatenate([time_costs[ui], scipy_time[ui]], axis=1)
+    ucols_e = np.concatenate([eval_costs[ui], scipy_eval[ui]], axis=1)
+    uprof_t = performance_profile(ucols_t, taus)
+    uprof_e = performance_profile(ucols_e, taus)
+    unames = names + scipy_names
     print("\nperformance profile (elapsed time):  tau :", [f"{n}" for n in names])
     for t, row in zip(taus, prof_t):
         print(f"  tau={t:<6g}" + "  ".join(f"{v:.2f}" for v in row))
     print("performance profile (neval_residual):")
     for t, row in zip(taus, prof_e):
+        print(f"  tau={t:<6g}" + "  ".join(f"{v:.2f}" for v in row))
+    print(f"\nunconstrained battery ({len(ui)} problems) vs scipy:", unames)
+    print(" time profile:")
+    for t, row in zip(taus, uprof_t):
+        print(f"  tau={t:<6g}" + "  ".join(f"{v:.2f}" for v in row))
+    print(" nfev profile:")
+    for t, row in zip(taus, uprof_e):
         print(f"  tau={t:<6g}" + "  ".join(f"{v:.2f}" for v in row))
 
     out = dict(
@@ -90,8 +171,21 @@ def main():
         profile_time=prof_t.tolist(),
         profile_evals=prof_e.tolist(),
         solved_per_config=np.isfinite(time_costs).sum(axis=0).tolist(),
+        unconstrained=dict(
+            configs=unames,
+            problems=[problems[i][0] for i in uncon_idx],
+            profile_time=uprof_t.tolist(),
+            profile_evals=uprof_e.tolist(),
+            solved_per_config=np.isfinite(ucols_t).sum(axis=0).tolist(),
+            time_costs=ucols_t.tolist(),
+            eval_costs=ucols_e.tolist(),
+        ),
     )
-    print(json.dumps({"solved_per_config": out["solved_per_config"], "n": len(problems)}))
+    print(json.dumps({
+        "solved_per_config": out["solved_per_config"], "n": len(problems),
+        "unconstrained_solved": out["unconstrained"]["solved_per_config"],
+        "n_unconstrained": len(ui),
+    }))
     if args.json:
         with open(args.json, "w") as f:
             json.dump(out, f, indent=1)

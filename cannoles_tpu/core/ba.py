@@ -48,7 +48,75 @@ from ..problem import NLSProblem
 from ..utils.linalg import norm_2
 from .matfree import MatrixFreeSolver
 
-__all__ = ["SchurBASolver", "inv3x3_sym"]
+__all__ = ["SchurBASolver", "inv3x3_sym", "ba_block_jacobi"]
+
+
+def ba_block_jacobi(n_cams: int, n_pts: int, project: Optional[Callable] = None):
+    """Structure-aware block-Jacobi preconditioner factory for the GENERIC
+    matrix-free CG engine on BA problems (``MatrixFreeSolver(precond=...)``).
+
+    M = blockdiag(U_c + ρI, V_p + ρI) with U/V the per-camera 6×6 and
+    per-landmark 3×3 Gauss–Newton diagonal blocks — the exact diagonal of
+    the BA arrowhead, where a scalar (Hutchinson) Jacobi estimate measurably
+    fails (the conditioning is camera↔landmark coupling plus per-block depth
+    scaling, which the block inverse captures and a noisy scalar diagonal
+    does not).  Each application is a batched 3×3 adjugate inverse + a
+    batched 6×6 Cholesky solve — pure VPU work, no (m, n) matrix.
+
+    The factory is rebuilt per rho-ladder attempt; its cost (the per-
+    observation A/B Jacobian blocks and two einsums) is ~a handful of CG
+    iterations' worth of work.
+    """
+    C, P = int(n_cams), int(n_pts)
+    if project is None:
+        from ..models.ba_large import project_point as project
+
+    def factory(problem, x, data, rho, delta):
+        cams = x[: 6 * C].reshape(C, 6)
+        pts = x[6 * C :].reshape(P, 3)
+
+        def jac_one(cam, pt):
+            A = jax.jacfwd(lambda cc: project(cc, pt))(cam)  # (2, 6)
+            B = jax.jacfwd(lambda pp: project(cam, pp))(pt)  # (2, 3)
+            return A, B
+
+        A, B = jax.vmap(lambda c: jax.vmap(lambda p: jac_one(c, p))(pts))(cams)
+        dtype = x.dtype
+        U = jnp.einsum("cpki,cpkj->cij", A, A, precision="highest") + rho * jnp.eye(
+            6, dtype=dtype
+        )
+        V = jnp.einsum("cpki,cpkj->pij", B, B, precision="highest") + rho * jnp.eye(
+            3, dtype=dtype
+        )
+        # landmark blocks: Jacobi-scaled closed-form inverses (same
+        # conditioning treatment as SchurBASolver._solve_with_blocks)
+        dV = jnp.diagonal(V, axis1=-2, axis2=-1)
+        sV = jax.lax.rsqrt(jnp.maximum(dV, 1e-30))
+        Vsinv, posV = inv3x3_sym(V * sV[..., :, None] * sV[..., None, :], 0.0)
+        Vinv = Vsinv * sV[..., :, None] * sV[..., None, :]
+        # camera blocks: batched 6x6 Cholesky (add a tiny floor so M is SPD
+        # even when rho = 0 and a camera block is near-singular)
+        dU = jnp.diagonal(U, axis1=-2, axis2=-1)
+        floor = 1e-10 * jnp.maximum(jnp.max(dU), jnp.asarray(1.0, dtype))
+        Lu = jnp.linalg.cholesky(U + floor * jnp.eye(6, dtype=dtype))
+        ok_u = jnp.all(jnp.isfinite(Lu))
+
+        def minv(r):
+            rc = r[: 6 * C].reshape(C, 6)
+            rp = r[6 * C :].reshape(P, 3)
+            from jax.scipy.linalg import cho_solve
+
+            zc = jax.vmap(lambda L, b: cho_solve((L, True), b))(Lu, rc)
+            zc = jnp.where(ok_u, zc, rc)  # fall back to identity if broken
+            # per-block identity fallback keeps M SPD at non-posdef blocks
+            zp = jnp.where(
+                posV[:, None], jnp.einsum("pij,pj->pi", Vinv, rp), rp
+            )
+            return jnp.concatenate([zc.reshape(-1), zp.reshape(-1)])
+
+        return minv
+
+    return factory
 
 
 def inv3x3_sym(V: jax.Array, tol: float):
@@ -196,6 +264,14 @@ class SchurBASolver(MatrixFreeSolver):
 
         from .matfree import _RhoCarry
 
+        # With frozen gauge coordinates (cam_mask) the masked camera columns
+        # make the reduced camera system exactly singular at rho = 0 — pure
+        # Gauss-Newton is provably rank-deficient there — so the rho = 0
+        # attempt can never succeed and would waste one full O(C²P) Schur
+        # assembly + factorization per outer iteration; start the ladder at
+        # the first regularized rung instead.
+        k_shift = 1 if self._cam_mask is not None else 0
+
         def cond(c):
             return (c.k == 0) | ((~c.success) & (c.rho <= pr.rho_max))
 
@@ -206,10 +282,11 @@ class SchurBASolver(MatrixFreeSolver):
                 jnp.maximum(jnp.asarray(pr.rho_min, dtype), pr.kappa_dec * rho_old),
             )
             inc = jnp.where(rho_old == 0, pr.kappa_large_inc, pr.kappa_inc)
+            keff = c.k + k_shift
             rho = jnp.where(
-                c.k == 0,
+                keff == 0,
                 jnp.zeros((), dtype),
-                jnp.where(c.k == 1, first_rho, c.rho * inc),
+                jnp.where(keff == 1, first_rho, c.rho * inc),
             )
             do = rho <= pr.rho_max
 

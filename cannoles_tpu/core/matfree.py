@@ -102,12 +102,20 @@ class _CGCarry(NamedTuple):
     z: jax.Array
     res: jax.Array
     p: jax.Array
-    gamma: jax.Array
+    gamma: jax.Array  # <res, M⁻¹res> (== ‖res‖² when unpreconditioned)
+    res2: jax.Array  # ‖res‖² (the stopping quantity, preconditioner-free)
     k: jax.Array
 
 
-def _cg(matvec: Callable, b: jax.Array, itmax: int, rtol: float):
-    """Plain CG on an SPD operator; returns (z, relative residual, iters).
+def _cg(matvec: Callable, b: jax.Array, itmax: int, rtol: float, minv=None):
+    """(Preconditioned) CG on an SPD operator; returns
+    (z, relative residual, iters).
+
+    ``minv``: optional SPD preconditioner application r ↦ M⁻¹r (Jacobi /
+    block-Jacobi); None = plain CG.  Convergence is always judged on the TRUE
+    residual 2-norm, so the stopping semantics — and the caller's
+    "CG converged = factorization succeeded" inertia reading — are identical
+    with and without preconditioning.
 
     Fixed-budget ``lax.while_loop`` — traces once, no host syncs; a
     non-converged or non-finite outcome is reported through the relative
@@ -115,9 +123,10 @@ def _cg(matvec: Callable, b: jax.Array, itmax: int, rtol: float):
     dtype = b.dtype
     nb = norm_2(b)
     tol2 = (rtol * nb) ** 2
+    apply_m = (lambda r: r) if minv is None else minv
 
     def cond(c: _CGCarry):
-        return (c.k < itmax) & (c.gamma > tol2) & jnp.isfinite(c.gamma)
+        return (c.k < itmax) & (c.res2 > tol2) & jnp.isfinite(c.gamma)
 
     def body(c: _CGCarry):
         q = matvec(c.p)
@@ -126,18 +135,23 @@ def _cg(matvec: Callable, b: jax.Array, itmax: int, rtol: float):
         alpha = jnp.where(ok, c.gamma / jnp.where(ok, den, 1.0), 0.0)
         z = c.z + alpha * c.p
         res = c.res - alpha * q
-        gamma_new = jnp.vdot(res, res)
+        y = apply_m(res)
+        gamma_new = jnp.vdot(res, y)
         beta = jnp.where(c.gamma > 0, gamma_new / jnp.where(c.gamma > 0, c.gamma, 1.0), 0.0)
-        p = res + beta * c.p
+        p = y + beta * c.p
         # a non-positive-curvature direction = operator not SPD at this rho:
         # freeze with gamma = inf so the attempt reads as failed
         gamma_next = jnp.where(ok, gamma_new, jnp.asarray(jnp.inf, dtype))
-        return _CGCarry(z, res, p, gamma_next, c.k + 1)
+        return _CGCarry(z, res, p, gamma_next, jnp.vdot(res, res), c.k + 1)
 
-    init = _CGCarry(jnp.zeros_like(b), b, b, jnp.vdot(b, b), jnp.zeros((), jnp.int32))
+    y0 = apply_m(b)
+    init = _CGCarry(
+        jnp.zeros_like(b), b, y0, jnp.vdot(b, y0), jnp.vdot(b, b),
+        jnp.zeros((), jnp.int32),
+    )
     out = lax.while_loop(cond, body, init)
     denom = jnp.where(nb > 0, nb, 1.0)
-    relres = jnp.sqrt(jnp.abs(out.gamma)) / denom
+    relres = jnp.sqrt(jnp.abs(out.res2)) / denom
     relres = jnp.where(jnp.isfinite(out.gamma), relres, jnp.asarray(jnp.inf, dtype))
     return out.z, relres, out.k
 
@@ -159,6 +173,26 @@ class MatrixFreeSolver:
     cg_maxiter : CG budget per attempt (default min(n + p, 500)).
     cg_rtol    : CG relative-residual target; non-convergence = failed
                  attempt → rho bump (default eps^0.45, ~3e-8 in f64).
+    precond    : 'none' (default) | 'jacobi' | callable.  The reference
+                 needs no preconditioner — its sparse LDLᵀ is a direct solve
+                 (solver_types.jl) — but its TPU analog's CG budget is the
+                 entire per-step cost of the large regime, so a
+                 preconditioner seam is first-class here:
+
+                 * 'jacobi' equilibrates the smooth block rho + JᵀJ with a
+                   diagonal estimated by ``precond_probes`` Hutchinson
+                   probes (Bekas–Kokiopoulou–Saad: E[z ∘ Az] over Rademacher
+                   z; each probe costs one operator application).  Measured
+                   ≥10× total-CG cut on ill-COLUMN-SCALED fits — but it can
+                   *hurt* structure-dominated operators (a 3c/12p BA scene
+                   measurably stalls: the noisy scalar diagonal distorts a
+                   spectrum whose conditioning is off-diagonal coupling, not
+                   scaling), hence NOT the default.
+                 * callable ``(problem, x, data, rho, delta) -> (r ↦ M⁻¹r)``
+                   supplies a structure-aware preconditioner rebuilt at each
+                   attempt — e.g. :func:`cannoles_tpu.core.ba.ba_block_jacobi`
+                   (per-camera 6×6 / per-landmark 3×3 block-Jacobi).
+    precond_probes : Hutchinson probes per 'jacobi' estimate (default 8).
     """
 
     def __init__(
@@ -168,6 +202,8 @@ class MatrixFreeSolver:
         method: str = "gauss_newton",
         cg_maxiter: Optional[int] = None,
         cg_rtol: Optional[float] = None,
+        precond="none",
+        precond_probes: int = 8,
         params: Optional[Params] = None,
         dtype=None,
     ):
@@ -195,6 +231,12 @@ class MatrixFreeSolver:
         self.cg_maxiter = int(cg_maxiter) if cg_maxiter is not None else min(n + p, 500)
         eps = float(jnp.finfo(self.dtype).eps)
         self.cg_rtol = float(cg_rtol) if cg_rtol is not None else eps**0.45
+        if not callable(precond) and precond not in ("jacobi", "none"):
+            raise ValueError(
+                f"precond must be 'jacobi', 'none' or a callable, got {precond!r}"
+            )
+        self.precond = precond
+        self.precond_probes = int(precond_probes)
         self._init_fn = jax.jit(self._init_state)
         self._outer_fn = jax.jit(self._outer_step)
         self._run_fn = jax.jit(self._run_compiled)
@@ -219,17 +261,42 @@ class MatrixFreeSolver:
         lam, _, _ = _cg(matvec, rhs, itmax, self.cg_rtol)
         return lam
 
+    def _jacobi_minv(self, resvec, rho, n, dtype):
+        """Diagonal (Jacobi) preconditioner for the SMOOTH block rho + J'J
+        only: diag estimated by Hutchinson probes (E[z ∘ Az] over Rademacher
+        z), clamped positive so M stays SPD even where the estimate's
+        variance bites or a column is unused.
+
+        The constraint term JcᵀJc/δ is deliberately EXCLUDED from M: it is a
+        rank-p (huge, ~1/δ) perturbation whose spectral effect CG already
+        neutralizes in ~p extra iterations (p well-separated outlier
+        eigenvalues); folding its diagonal into M instead smears the 1/δ
+        scale across the preconditioned spectrum and measurably stalls CG on
+        constrained problems (observed: a 5000×16 + 1 equality fit goes from
+        converging to max_eval when Jc'Jc/δ enters the diagonal)."""
+        Z = jax.random.rademacher(
+            jax.random.PRNGKey(0), (self.precond_probes, n), dtype=dtype
+        )
+        est = jnp.mean(jax.vmap(lambda z: z * resvec(z))(Z), axis=0)
+        floor = 1e-10 * jnp.maximum(jnp.max(est), jnp.asarray(1.0, dtype))
+        d = jnp.maximum(est, floor) + rho
+        return lambda r: r / d
+
     def _solve_condensed(self, s: MFState, rho):
-        """One CG attempt on ((rho+λ_LM) I + JᵀJ + JcᵀJc/δ) zx = bx + Jcᵀbc/δ
-        at the current iterate; returns (zx, converged, iters).  λ_LM =
-        clamp(damp) for method='lm', zero for Gauss–Newton."""
+        """One (P)CG attempt on ((rho+λ_LM) I + JᵀJ + JcᵀJc/δ) zx =
+        bx + Jcᵀbc/δ at the current iterate; returns (zx, converged, iters).
+        λ_LM = clamp(damp) for method='lm', zero for Gauss–Newton."""
         pb = self.problem
+        n = pb.nvar
         x, data, delta = s.x, s.data, s.delta
         if self.method == "lm":
             rho = rho + jnp.clip(s.damp, 1e-10, 1e8)
 
+        def resvec(v):
+            return pb.jtprod_res(x, pb.jprod_res(x, v, data), data)
+
         def matvec(v):
-            out = rho * v + pb.jtprod_res(x, pb.jprod_res(x, v, data), data)
+            out = rho * v + resvec(v)
             if pb.ncon > 0:
                 out = out + pb.jtprod_cons(x, pb.jprod_cons(x, v, data), data) / delta
             return out
@@ -237,7 +304,13 @@ class MatrixFreeSolver:
         bx = s.dual + pb.jtprod_res(x, s.prim_r, data)
         if pb.ncon > 0:
             bx = bx + pb.jtprod_cons(x, s.cx, data) / delta
-        zx, relres, k = _cg(matvec, bx, self.cg_maxiter, self.cg_rtol)
+        if callable(self.precond):
+            minv = self.precond(pb, x, data, rho, delta)
+        elif self.precond == "jacobi":
+            minv = self._jacobi_minv(resvec, rho, n, bx.dtype)
+        else:
+            minv = None
+        zx, relres, k = _cg(matvec, bx, self.cg_maxiter, self.cg_rtol, minv=minv)
         return zx, (relres <= self.cg_rtol) & jnp.all(jnp.isfinite(zx)), k
 
     def _newton_system(self, s: MFState):
@@ -611,6 +684,7 @@ class MatrixFreeSolver:
         callback: Optional[Callable] = None,
         max_time: float = 300.0,
         verbose: int = 0,
+        resume_from: Optional[MFState] = None,
         **numeric,
     ) -> ExecutionStats:
         pb = self.problem
@@ -621,7 +695,14 @@ class MatrixFreeSolver:
         cfg = self.make_config(**numeric)
         stats = ExecutionStats()
         stats.status = "unknown"
-        state = self._init_fn(x0, lam0, cfg, pb.data)
+        if resume_from is not None:
+            # checkpoint/resume for the long-running engines: continue a
+            # saved run — tolerances ride the state, so the stopping
+            # criteria are preserved across sessions (dense-solver parity,
+            # core/solver.py solve(resume_from=))
+            state = resume_from._replace(status=jnp.zeros((), jnp.int32))
+        else:
+            state = self._init_fn(x0, lam0, cfg, pb.data)
         self._sync(state, stats, time.time() - t0)
         if callback is not None:
             callback(pb, state, stats)
@@ -670,6 +751,7 @@ def solve_matfree(
     method: str = "gauss_newton",
     cg_maxiter: Optional[int] = None,
     cg_rtol: Optional[float] = None,
+    precond="none",
     callback=None,
     max_time: float = 300.0,
     verbose: int = 0,
@@ -683,7 +765,8 @@ def solve_matfree(
     convergence standing in for the inertia test.  Use for m·n beyond HBM
     (the dense solver is faster below that)."""
     solver = MatrixFreeSolver(
-        problem, method=method, cg_maxiter=cg_maxiter, cg_rtol=cg_rtol
+        problem, method=method, cg_maxiter=cg_maxiter, cg_rtol=cg_rtol,
+        precond=precond,
     )
     return solver.solve(
         x0=x, lam0=lam, callback=callback, max_time=max_time, verbose=verbose, **numeric

@@ -59,6 +59,7 @@ __all__ = [
     "RunConfig",
     "AVAILABLE_METHODS",
     "AVAILABLE_LINSOLVE",
+    "resolve_auto",
 ]
 
 AVAILABLE_METHODS = ("newton", "lm", "gauss_newton", "newton_vanishing")
@@ -80,6 +81,43 @@ def _check_available_method(method: str) -> str:
         opts = ", ".join(f"`{m}`" for m in AVAILABLE_METHODS)
         raise ValueError(f"`method` must be one of these: {opts}")
     return method
+
+
+# Full-KKT size up to which the lanes-batched Pallas LDLᵀ kernel is the
+# measured-best vmapped backend (ops/pallas_ldlt.py dispatch cap).
+def _pallas_batch_cap() -> int:
+    from ..ops.pallas_ldlt import PALLAS_MAX_N
+
+    return PALLAS_MAX_N
+
+
+def resolve_auto(problem, method: str, linsolve: str, kkt: str):
+    """Resolve 'auto' linsolve/kkt to the measured-best configuration.
+
+    The measurements behind each branch are in benchmarks/RESULTS.md:
+
+    * ``kkt='auto'`` → 'condensed' when m ≫ n (m ≥ 4(n+p) and the full KKT
+      is big enough for the O(N³) factorization to matter): eliminating the
+      residual block turns an (n+m+p)³ factorization into (n+p)³ plus one
+      MXU matmul — the measured hot path for the large dense regime.
+    * ``linsolve='auto'`` on a condensed Gauss–Newton/LM system → 'chol'
+      (two-level Cholesky; SPD by construction), else 'ldlt' with the
+      in-loop exact-inertia eigh retry (``robust_fallback``) — the
+      two-backend seam of the reference (CaNNOLeS.jl:317-332).
+
+    Returns ``(linsolve, kkt, robust_fallback)``.
+    """
+    method = _check_available_method(method)
+    n, m, p = problem.nvar, problem.nequ, problem.ncon
+    if kkt == "auto":
+        kkt = "condensed" if (m >= 4 * (n + p) and n + m + p >= 64) else "full"
+    auto = linsolve == "auto"
+    if auto:
+        if kkt == "condensed" and method in ("gauss_newton", "lm"):
+            linsolve = "chol"
+        else:
+            linsolve = "ldlt"
+    return linsolve, kkt, auto
 
 
 class RunConfig(NamedTuple):
@@ -272,6 +310,22 @@ class CaNNOLeSSolver:
         self._critical_precision = (
             "highest" if matmul_precision is None else matmul_precision
         )
+        # The quality gate must stay honest in commit mode: the gate residual
+        # matmul is O(N²) (never throughput-critical) so it is ALWAYS measured
+        # at 'highest', and its tolerance scales with the unit roundoff of the
+        # *committed arithmetic* — a backward-stable bf16 factorization leaves
+        # an O(eps_bf16) residual that an f32-eps tolerance would misread as
+        # failure, sending the rho ladder into spurious escalation.
+        self._gate_eps = float(
+            jnp.finfo(
+                {
+                    "bfloat16": jnp.bfloat16,
+                    "tensorfloat32": jnp.float32,  # 10-bit mantissa ≈ 2^-10
+                }.get(matmul_precision, self.dtype)
+            ).eps
+        )
+        if matmul_precision == "tensorfloat32":
+            self._gate_eps = 2.0**-10
         # jitted entry points (compiled lazily on first call)
         self._init_fn = self._jit(self._init_state)
         self._outer_fn = self._jit(self._outer_step)
@@ -447,13 +501,15 @@ class CaNNOLeSSolver:
         turning a hard solver error into one more regularized factorization.
         Gate: ‖W·sol − rhs‖∞ ≤ N·eps^(3/4)·(‖rhs‖∞ + max|W|·‖sol‖₁), a loose
         multiple of the backward-stable bound, so accurate backends are never
-        affected (verified by backend trajectory-parity tests)."""
-        dtype = W.dtype
+        affected (verified by backend trajectory-parity tests).  ``eps`` is
+        the unit roundoff of the committed arithmetic (``matmul_precision``),
+        and the residual itself is always measured at 'highest' — see
+        ``_gate_eps`` in ``__init__``."""
         N = W.shape[-1]
-        tol = float(jnp.finfo(dtype).eps) ** 0.75 * N
-        res = rhs - jnp.matmul(W, sol, precision=self._critical_precision)
+        tol = self._gate_eps**0.75 * N
+        res = rhs - jnp.matmul(W, sol, precision="highest")
         scale = norm_inf(rhs) + jnp.max(jnp.abs(W)) * norm_1(sol)
-        return norm_inf(res) <= tol * (scale + jnp.asarray(1e-30, dtype))
+        return norm_inf(res) <= tol * (scale + jnp.asarray(1e-30, W.dtype))
 
     def _attempt(self, W, rhs):
         sol, success = self._attempt_raw(W, rhs)
@@ -675,10 +731,10 @@ class CaNNOLeSSolver:
         x = jnp.asarray(x0, dtype=dtype)
         lam = jnp.asarray(lam0, dtype=dtype)
 
-        Fx = pb.F(x, data)
+        # one linearization point: F and J share the primal trace
+        Fx, Jx = pb.F_and_J(x, data)
         broken = check_nan_inf(Fx)  # reference errors here (CaNNOLeS.jl:485-487)
         fx = 0.5 * jnp.vdot(Fx, Fx)
-        Jx = pb.J(x, data)
         cx = pb.c_shifted(x, data)
         Jcx = pb.Jc(x, data)
         neval_F = jnp.full_like(x, 1, shape=(), dtype=jnp.int32)
@@ -1197,7 +1253,7 @@ def cannoles(
     *,
     method: str = "newton",
     linsolve: str = "auto",
-    kkt: str = "full",
+    kkt: str = "auto",
     x=None,
     lam=None,
     use_initial_multiplier: bool = False,
@@ -1225,11 +1281,14 @@ def cannoles(
         tests instead of the CGLS least-squares estimate.
     method : 'newton' | 'lm' | 'gauss_newton' | 'newton_vanishing'
         (reference symbols accepted as aliases).
-    linsolve : 'auto' (default: 'ldlt' with one robust-'eigh' retry on an
-        exception status — the two-backend seam of the reference) | 'ldlt' |
-        'eigh' | 'pallas' | 'cpp' | 'chol' (condensed only);
+    linsolve : 'auto' (default, measured-best: 'chol' on a condensed
+        Gauss–Newton/LM system, else 'ldlt'; plus an in-loop exact-inertia
+        'eigh' retry ladder — the two-backend seam of the reference) |
+        'ldlt' | 'eigh' | 'pallas' | 'cpp' | 'chol' (condensed only);
         'ma57'/'ldlfactorizations' aliases accepted.
-    kkt : 'full' ((n+m+p)² system) | 'condensed' ((n+p)² Schur form).
+    kkt : 'auto' (default: 'condensed' when m ≥ 4(n+p) and the KKT is large,
+        see :func:`resolve_auto`) | 'full' ((n+m+p)² system) | 'condensed'
+        ((n+p)² Schur form).
     max_iter, max_eval, max_time, max_inner : budgets (max_eval counts
         residual + constraint evaluations; max_time is wall clock,
         checked between outer iterations).
@@ -1252,12 +1311,13 @@ def cannoles(
     # and *per KKT system* an exact-inertia eigh retry ladder entered only at
     # rho-ladder exhaustion (the MA57-robustness analog).  One solver
     # instance, one compiled program, no discarded iterates — unlike the
-    # round-2 whole-solve restart.
-    auto = linsolve == "auto"
+    # round-2 whole-solve restart.  kkt='auto' additionally selects the
+    # condensed + Cholesky path for m ≫ n (see resolve_auto).
+    linsolve, kkt, auto = resolve_auto(problem, method, linsolve, kkt)
     solver = CaNNOLeSSolver(
         problem,
         method=method,
-        linsolve="ldlt" if auto else linsolve,
+        linsolve=linsolve,
         kkt=kkt,
         robust_fallback=auto,
         use_initial_multiplier=use_initial_multiplier,

@@ -39,22 +39,33 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .ldlt import ldlt_factor, ldlt_solve
 
-__all__ = ["fused_ldlt_solve", "batched_ldlt_solve_pallas"]
+__all__ = ["fused_ldlt_solve", "batched_ldlt_solve_pallas", "PALLAS_MAX_N"]
 
 _LANES = 128
 
+# Largest KKT size the lanes-batched kernel handles.  VMEM-bounded: the
+# kernel eliminates the (N, N, 128) f32 input block in place (no scratch
+# copy), so with double-buffered grid pipelining the footprint is
+# ~2·N²·128·4 B — N = 160 uses ~13 MB of the ~16 MB VMEM.  Above this the
+# custom_vmap rule falls back to the vmapped blocked-jnp path.
+PALLAS_MAX_N = 160
 
-def _fused_kernel(W_ref, rhs_ref, x_ref, d_ref, Wk, *, N: int, eig_tol: float):
+
+def _fused_kernel(W_ref, rhs_ref, x_ref, d_ref, *, N: int, eig_tol: float):
     """One program: factor+solve TB instances in lockstep.
 
-    W_ref:   (N, N, TB) symmetric input
+    W_ref:   (N, N, TB) symmetric input, eliminated IN PLACE — the input
+             block is a per-grid-step VMEM-local copy (the batch grid
+             touches each block exactly once, so mutating it is safe), and
+             skipping a separate scratch copy halves the kernel's VMEM
+             footprint, raising the N cap from 96 to ~160 at full 128 lanes
     rhs_ref: (N, TB)
     x_ref:   (N, TB) output solution of W x = rhs
     d_ref:   (N, TB) output raw pivots (inertia signal)
-    Wk:      (N, N, TB) VMEM scratch; after elimination row k holds the
-             strictly-lower column k of L
+
+    After elimination, row k of W_ref holds the strictly-lower column k of L.
     """
-    Wk[:] = W_ref[:]
+    Wk = W_ref
     rows = lax.broadcasted_iota(jnp.int32, (N, 1), 0)  # (N, 1) — 2D iota
 
     # N is a trace-time constant and small: unroll with Python loops so every
@@ -115,7 +126,6 @@ def _build_pallas_call(N: int, B_blocks: int, eig_tol: float, dtype_str: str, in
             jax.ShapeDtypeStruct((N, B_blocks * _LANES), dtype),
             jax.ShapeDtypeStruct((N, B_blocks * _LANES), dtype),
         ],
-        scratch_shapes=[pltpu.VMEM((N, N, _LANES), dtype)],
         interpret=interpret,
     )
 
@@ -156,9 +166,10 @@ def _make_fused(eig_tol: float, nb: int):
         if not rhs_b:
             rhs = jnp.broadcast_to(rhs, (axis_size,) + rhs.shape)
         N = W.shape[-1]
-        # VMEM budget: the kernel holds ~2 x (N, N, 128) f32 blocks on-chip;
-        # beyond N ~ 96 fall back to the vmapped blocked-jnp path
-        if N > 96:
+        # VMEM budget: the in-place kernel holds one (N, N, 128) block
+        # (double-buffered across grid steps); beyond PALLAS_MAX_N fall back
+        # to the vmapped blocked-jnp path
+        if N > PALLAS_MAX_N:
             def one(Wi, ri):
                 fac = ldlt_factor(Wi, eig_tol, nb=nb)
                 return ldlt_solve(fac, ri, eig_tol), fac.vec

@@ -93,7 +93,7 @@ def vsolve(
     *,
     solver: Optional[CaNNOLeSSolver] = None,
     method: str = "newton",
-    linsolve: str = "ldlt",
+    linsolve: str = "auto",
     mesh: Optional[Mesh] = None,
     max_iter: int = 100,
     chunk_size: Optional[int] = None,
@@ -117,6 +117,16 @@ def vsolve(
     """
     problem.validate_for_solve()
     if solver is None:
+        # linsolve='auto' under vmap: the lanes-batched Pallas LDLᵀ kernel is
+        # the measured-best batched backend (RESULTS.md kernel table: 2.6×
+        # faster inside the full solver and far more f32-robust than the
+        # vmapped blocked-jnp path) wherever the full KKT fits its VMEM cap;
+        # beyond the cap fall back to 'ldlt'.
+        if linsolve == "auto":
+            from ..core.solver import _pallas_batch_cap
+
+            N = problem.nvar + problem.nequ + problem.ncon
+            linsolve = "pallas" if N <= _pallas_batch_cap() else "ldlt"
         solver = CaNNOLeSSolver(problem, method=method, linsolve=linsolve)
     x0_batch = jnp.asarray(x0_batch, dtype=solver.dtype)
     B = x0_batch.shape[0]
@@ -139,12 +149,13 @@ def vsolve(
     use_chunks = (
         chunk_size is not None and mesh is None and B % chunk_size == 0 and B > chunk_size
     )
-    if chunk_size is not None and not use_chunks:
-        # silent fallback to one flat vmap would hand a user asking for
-        # straggler control a potentially much larger compile — say so
+    # chunk_size == B asks for exactly one chunk — the flat vmap IS that; no
+    # warning.  Otherwise a silent fallback would hand a user asking for
+    # straggler control a potentially much larger compile — say so.
+    if chunk_size is not None and not use_chunks and not (mesh is None and chunk_size == B):
         warnings.warn(
             f"vsolve: chunk_size={chunk_size} ignored "
-            f"({'mesh is set' if mesh is not None else f'B={B} not a positive multiple'}); "
+            f"({'mesh is set' if mesh is not None else f'chunking requires chunk_size < B dividing B (B={B})'}); "
             "running one flat vmap over the whole batch",
             stacklevel=2,
         )

@@ -137,6 +137,24 @@ class NLSProblem:
             return self.jac_residual(x, data)
         return jax.jacfwd(lambda z: self.residual(z, data))(x)
 
+    def F_and_J(self, x, data=None):
+        """Residual value AND Jacobian from one linearization point.
+
+        The reference's hot loop evaluates F then refreshes J separately
+        (CaNNOLeS.jl:715-719); ``jax.linearize`` shares one primal trace
+        between the value and the n tangent pushes, so the residual is
+        evaluated exactly once per (F, J) pair instead of twice (jacfwd
+        evaluates and discards the primal)."""
+        if self.jac_residual is not None:
+            return self.residual(x, data), self.jac_residual(x, data)
+        Fx, fjvp = jax.linearize(lambda z: self.residual(z, data), x)
+        # basis derives from x (+0·x) so its varying-manual-axes type matches
+        # the primal under shard_map — a fresh unvarying eye is rejected by
+        # the linearized function's tangent-type check
+        basis = jnp.eye(self.nvar, dtype=x.dtype) + jnp.zeros_like(x)[None, :]
+        # vmap(fjvp)(I)[i] = J @ e_i → rows are J's columns; transpose
+        return Fx, jnp.swapaxes(jax.vmap(fjvp)(basis), 0, 1)
+
     def Jc(self, x, data=None):
         if self.ncon == 0:
             return jnp.zeros((0, self.nvar), dtype=x.dtype)

@@ -7,6 +7,12 @@ stepper — `solver.solve(resume_from=state)` continues exactly where the
 saved run stopped (tolerances are carried inside the state, so the stopping
 criteria are preserved).
 
+Covers BOTH state families: the dense :class:`SolverState` and the
+matrix-free :class:`MFState` carried by the long-running engines
+(``MatrixFreeSolver`` / ``SchurBASolver``) — the runs that actually need
+checkpoint/resume.  The state kind is recorded in the file and dispatched on
+load.
+
 Format: a single ``.npz`` with flattened leaves + a structure descriptor.
 Works for batched (vsolve) states too — every leaf just carries its batch
 axis.
@@ -20,19 +26,26 @@ import pathlib
 import jax
 import numpy as np
 
+from ..core.matfree import MFState
 from ..core.solver import SolverState
 
 __all__ = ["save_state", "load_state"]
 
-_FIELDS = SolverState._fields
+_KINDS = {"SolverState": SolverState, "MFState": MFState}
 
 
-def save_state(path, state: SolverState) -> None:
-    """Serialize a SolverState (or batched SolverState) to ``path`` (.npz)."""
+def save_state(path, state) -> None:
+    """Serialize a SolverState or MFState (possibly batched) to ``path``
+    (.npz)."""
     path = pathlib.Path(path)
+    kind = type(state).__name__
+    if kind not in _KINDS:
+        raise TypeError(
+            f"save_state handles SolverState and MFState, got {kind}"
+        )
     leaves = {}
-    meta = {"fields": [], "has_data": state.data is not None}
-    for name in _FIELDS:
+    meta = {"kind": kind, "fields": [], "has_data": state.data is not None}
+    for name in type(state)._fields:
         val = getattr(state, name)
         if name == "data":
             if val is None:
@@ -48,12 +61,14 @@ def save_state(path, state: SolverState) -> None:
     np.savez(path, __meta__=json.dumps(meta), **leaves)
 
 
-def load_state(path, data_template=None) -> SolverState:
-    """Load a SolverState.  If the checkpoint carried problem data, pass a
+def load_state(path, data_template=None):
+    """Load a saved state (SolverState or MFState, dispatched on the file's
+    kind tag).  If the checkpoint carried problem data, pass a
     ``data_template`` pytree with the same structure to rebuild it."""
     path = pathlib.Path(path)
     with np.load(path, allow_pickle=False) as z:
         meta = json.loads(str(z["__meta__"]))
+        cls = _KINDS[meta.get("kind", "SolverState")]
         kw = {name: jax.numpy.asarray(z[name]) for name in meta["fields"]}
         if meta.get("has_data"):
             n = meta["n_data_leaves"]
@@ -67,4 +82,4 @@ def load_state(path, data_template=None) -> SolverState:
                 kw["data"] = tuple(data_leaves)
         else:
             kw["data"] = None
-    return SolverState(**kw)
+    return cls(**kw)

@@ -73,3 +73,32 @@ def test_debug_print_mode(capfd):
     assert stats.status == "first_order"
     out = capfd.readouterr().out
     assert "‖∇L‖" in out and "iter=" in out
+
+
+def test_checkpoint_mfstate_roundtrip(tmp_path):
+    """Checkpoint/resume for the long-running engines (round-3 VERDICT item
+    7): an MFState saved mid-run and resumed must bit-match the
+    straight-through solve — exercised on a SchurBASolver BA scene."""
+    from cannoles_tpu.core.ba import SchurBASolver
+    from cannoles_tpu.models.ba_large import large_bundle_adjustment
+
+    pb, _ = large_bundle_adjustment(3, 12, noise=0.0, seed=0, dtype=jnp.float64)
+    tol = dict(atol=1e-14, rtol=0.0)
+    solver = SchurBASolver(pb, 3, 12)
+    stats1 = solver.solve(max_iter=2, **tol)
+    assert stats1.status == "max_iter"
+    ckpt = tmp_path / "mf.npz"
+    save_state(ckpt, solver.last_state)
+    restored = load_state(ckpt, data_template=pb.data)
+    assert type(restored).__name__ == "MFState"
+    for name in ("x", "lam", "delta", "epstol", "iter", "ncg"):
+        assert np.allclose(
+            np.asarray(getattr(restored, name)),
+            np.asarray(getattr(solver.last_state, name)),
+        ), name
+
+    stats2 = solver.solve(resume_from=restored, **tol)
+    straight = SchurBASolver(pb, 3, 12).solve(**tol)
+    assert stats2.status == straight.status
+    assert stats2.iter == straight.iter
+    assert np.array_equal(np.asarray(stats2.solution), np.asarray(straight.solution))

@@ -126,3 +126,22 @@ def test_project_consistency_with_families_model():
     Xc = _rodrigues(cam[:3], (pt - cam[3:])[None, :])[0]
     uv_ref = Xc[:2] / jnp.maximum(Xc[2], 1e-3)
     assert np.allclose(uv, uv_ref, atol=1e-12)
+
+
+def test_ba_block_jacobi_cuts_cg():
+    """Structured block-Jacobi (per-camera 6×6 / per-landmark 3×3) must cut
+    the generic CG engine's total iterations ≥2.5× on a BA scene and not
+    degrade the answer (round-3 VERDICT item 6; the scalar Hutchinson
+    'jacobi' mode measurably STALLS here — structure matters)."""
+    from cannoles_tpu.core.ba import ba_block_jacobi
+
+    pb, x_true = _scene(noise=0.0)
+    tol = dict(atol=1e-14, rtol=0.0)
+    ncg = {}
+    for label, pc in (("none", "none"), ("block", ba_block_jacobi(3, 12))):
+        s = MatrixFreeSolver(pb, cg_maxiter=300, precond=pc)
+        st = s.solve(max_time=600.0, **tol)
+        assert st.status in ("first_order", "small_residual"), (label, st.status)
+        assert np.abs(np.asarray(st.solution) - x_true).max() < 1e-5
+        ncg[label] = int(s.last_state.ncg)
+    assert ncg["block"] * 2.5 <= ncg["none"], ncg

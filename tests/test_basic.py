@@ -81,3 +81,32 @@ def test_methods_on_constrained_rosenbrock(method):
     stats = cannoles(nls, method=method)
     assert np.allclose(stats.solution, [0.6188, 0.3812], atol=1e-4), (
         method, stats.status, stats.solution)
+
+
+def test_f_and_j_matches_separate_calls():
+    """F_and_J (linearize-once) must agree exactly with F and jacfwd-J."""
+    import jax.numpy as jnp
+    import numpy as np
+    from cannoles_tpu import nls_problem
+
+    pb = nls_problem(
+        lambda x, d: jnp.array([x[0] - d[0], 10 * (x[1] - x[0] ** 2), x[0] * x[1]]),
+        jnp.array([-1.2, 1.0]),
+        3,
+        data=jnp.array([2.0]),
+    )
+    x = jnp.array([0.3, -0.7])
+    F1 = pb.F(x, pb.data)
+    J1 = pb.J(x, pb.data)
+    F2, J2 = pb.F_and_J(x, pb.data)
+    assert np.array_equal(np.asarray(F1), np.asarray(F2))
+    assert np.allclose(np.asarray(J1), np.asarray(J2), atol=0, rtol=0)
+    assert J2.shape == (3, 2)
+
+    # analytic-override path returns the override verbatim
+    pb2 = nls_problem(
+        lambda x: x * 2.0, jnp.ones(2), 2,
+        jac_residual=lambda x, d: 2.0 * jnp.eye(2),
+    )
+    F3, J3 = pb2.F_and_J(jnp.ones(2), None)
+    assert np.allclose(np.asarray(J3), 2 * np.eye(2))

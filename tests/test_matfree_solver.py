@@ -158,10 +158,10 @@ def _meyer():
     )
 
 
-def _run_budgeted(pb, method, n_outer=300):
+def _run_budgeted(pb, method, n_outer=300, precond="none"):
     from cannoles_tpu import MatrixFreeSolver
 
-    s = MatrixFreeSolver(pb, method=method, cg_maxiter=60)
+    s = MatrixFreeSolver(pb, method=method, cg_maxiter=60, precond=precond)
     cfg = s.make_config(max_iter=n_outer, max_inner=100)
     st = s._init_fn(pb.x0, pb.y0, cfg, pb.data)
     for _ in range(n_outer):
@@ -181,14 +181,45 @@ def test_matfree_lm_damping_is_applied():
 
 
 def test_matfree_lm_beats_gn_on_stiff_fit():
-    """Equal budgets on Meyer: applied Levenberg damping makes measurably
-    more progress than the undamped Gauss-Newton step (both stall before
-    full convergence — Meyer is hard for every first-order-regularized
-    method — but LM's objective lands well below GN's)."""
+    """Equal budgets on Meyer, unpreconditioned engine: applied Levenberg
+    damping makes measurably more progress than the undamped Gauss-Newton
+    step (both stall before full convergence — Meyer is hard for every
+    first-order-regularized method — but LM's objective lands well below
+    GN's).  precond='none' pins the comparison this test documents; the
+    Jacobi preconditioner changes the balance (see
+    test_jacobi_precond_helps_ill_scaled_fit)."""
     pb = _meyer()
     st_gn = _run_budgeted(pb, "gauss_newton")
     st_lm = _run_budgeted(pb, "lm")
     assert float(st_lm.fx) < 0.9 * float(st_gn.fx)
+
+
+def test_jacobi_precond_cuts_cg_iterations():
+    """Ill-column-scaled fit (diag(J'J) spans 6 orders): the Jacobi
+    preconditioner (default) must solve with ≥3× fewer total CG iterations
+    than the unpreconditioned engine, reaching the same answer (round-3
+    VERDICT item 6)."""
+    from cannoles_tpu import MatrixFreeSolver
+
+    m, n = 512, 128
+    rng = np.random.default_rng(7)
+    scales = np.logspace(0, 1.5, n)
+    A = jnp.asarray(rng.normal(size=(m, n)) / np.sqrt(m) * scales)
+    x_true = jnp.asarray(rng.normal(size=n) / scales)
+    b = A @ x_true
+
+    pb = nls_problem(
+        lambda x, d: d["A"] @ x - d["b"], jnp.zeros(n), m,
+        data={"A": A, "b": b}, name="illscaled",
+    )
+    ncg = {}
+    for precond in ("none", "jacobi"):
+        s = MatrixFreeSolver(pb, precond=precond)
+        st = s.solve(max_iter=100)
+        assert st.status in ("first_order", "small_residual"), (precond, st.status)
+        assert np.abs(np.asarray(st.solution) - np.asarray(x_true)).max() < 1e-5
+        ncg[precond] = s.last_state.ncg
+    assert ncg["jacobi"] * 3 <= ncg["none"], ncg
 
 
 def test_matfree_lm_still_solves_tame_problems():

@@ -48,3 +48,39 @@ def test_identical_trajectories_across_backends():
         assert st.iter == ref.iter, (b, st.iter, ref.iter)
         assert st.solver_specific["nfact"] == ref.solver_specific["nfact"], b
         assert np.allclose(st.solution, ref.solution, atol=1e-12), b
+
+
+def test_bf16_commit_quality_gate_tolerance():
+    """Commit-mode bf16 must not trip the quality gate spuriously (round-3
+    advisor medium): the gate residual is always measured at 'highest' and
+    its tolerance scales with the committed arithmetic's unit roundoff."""
+    rng = np.random.default_rng(0)
+    m, n = 48, 16
+    A = jnp.asarray(rng.normal(size=(m, n)) / np.sqrt(n), jnp.float32)
+    xt = jnp.asarray(rng.normal(size=n), jnp.float32)
+    b = A @ xt
+    pb = nls_problem(lambda x: A @ x - b, jnp.zeros(n, jnp.float32), m)
+
+    s16 = CaNNOLeSSolver(
+        pb, method="gauss_newton", kkt="condensed", linsolve="chol",
+        matmul_precision="bfloat16", quality_gate=True, dtype=jnp.float32,
+    )
+    assert s16.quality_gate  # N = n = 16 >= 16: gate on by default
+    assert s16._gate_eps == float(jnp.finfo(jnp.bfloat16).eps)
+    stats = s16.solve()
+    assert stats.status in ("first_order", "small_residual"), stats.status
+    assert stats.solver_specific["internal_msg"] == ""
+
+    # unit-level: a solution carrying bf16-roundoff error passes the bf16
+    # gate but fails the f32 gate (the tolerance really does scale)
+    W = jnp.asarray(np.eye(16) + 0.01 * rng.normal(size=(16, 16)), jnp.float32)
+    W = 0.5 * (W + W.T) + 2 * jnp.eye(16, dtype=jnp.float32)
+    sol = jnp.asarray(rng.normal(size=16), jnp.float32)
+    rhs = W @ sol
+    noisy = sol * (1 + 2e-3)  # ~bf16-eps relative error, >> f32 tolerance
+    s32 = CaNNOLeSSolver(
+        pb, method="gauss_newton", kkt="condensed", linsolve="chol",
+        quality_gate=True, dtype=jnp.float32,
+    )
+    assert bool(s16._solve_quality_ok(W, noisy, rhs))
+    assert not bool(s32._solve_quality_ok(W, noisy, rhs))
