@@ -142,7 +142,7 @@ class SolverState(NamedTuple):
     Fx: jax.Array  # (m,)
     cx: jax.Array  # (p,)
     fx: jax.Array  # scalar ½‖F‖²
-    Jx: jax.Array  # (m, n)
+    JxT: jax.Array  # (n, m) — Jᵀ in its natural linearize layout (problem.Jt)
     Jcx: jax.Array  # (p, n)
     dual: jax.Array  # (n,)
     primal: jax.Array  # (m+p,)
@@ -300,15 +300,21 @@ class CaNNOLeSSolver:
         if matmul_precision not in (None, "highest", "float32", "bfloat16", "tensorfloat32"):
             raise ValueError(f"unknown matmul_precision {matmul_precision!r}")
         self.matmul_precision = matmul_precision
-        # The J'J condensation and the quality-gate residual are pinned to
-        # 'highest' in mixed (None) mode — they are the conditioning-critical
-        # contractions (measured: 65/256 batched BA scenes solved with bf16
-        # condensation vs 256/256 pinned).  An EXPLICIT matmul_precision is a
-        # full commitment: those contractions follow it too (measured on the
-        # 8192x1024 rung: 3.2 -> 2.3 ms/solve for 'bfloat16', same iteration
-        # count, err 4.5e-5 -> 7.9e-5).
+        # The J'J condensation is the conditioning-critical contraction
+        # (measured round 3: 65/256 batched BA scenes solved with 1-pass
+        # bf16 condensation + gate off, vs 256/256 pinned).  Mixed (None)
+        # mode pins it to 'high' (3-pass bf16 emulation, ~f32-grade):
+        # measured round 4 on the 8192×1024 rung, 'high' vs 'highest' is
+        # 2.73 vs 3.30 ms/solve with the SAME iterate count and final error
+        # (4.53e-5 vs 4.54e-5), and the BA rung stays 256/256 at 'high'
+        # (and even at 'default' now that the quality gate is on at this N).
+        # An EXPLICIT matmul_precision is a full commitment: the
+        # condensation follows it (measured: 'bfloat16' commit 3.2 → 2.3
+        # ms/solve, same iterations, err 4.5e-5 → 7.9e-5).  The quality-gate
+        # residual is separate and ALWAYS measured at 'highest' (see
+        # _gate_eps above).
         self._critical_precision = (
-            "highest" if matmul_precision is None else matmul_precision
+            "high" if matmul_precision is None else matmul_precision
         )
         # The quality gate must stay honest in commit mode: the gate residual
         # matmul is O(N²) (never throughput-critical) so it is ALWAYS measured
@@ -326,6 +332,27 @@ class CaNNOLeSSolver:
         )
         if matmul_precision == "tensorfloat32":
             self._gate_eps = 2.0**-10
+        # Trial-point linearize-once: the α = 1 trial evaluation and the
+        # trial-Jacobian refresh happen at the same point whenever the line
+        # search does not backtrack (extrapolation never does, Armijo
+        # usually doesn't), so sharing one jax.linearize saves a full
+        # residual primal per inner iteration — measured ~0.2 ms of a
+        # 1.4 ms iteration on the 8192×1024 rung (the primal is two
+        # bandwidth-bound (m, n) matvec passes there).  Enabled only for
+        # large Jacobians solved unbatched: under vmap the lax.cond
+        # executes both branches, which would *double* the J build for
+        # backtracking batches.
+        self._reuse_trial_linearization = (
+            problem.nequ * problem.nvar >= (1 << 20)
+            and problem.jac_residual is None
+        )
+        # Scalar (real lax.cond) branching for the large-unbatched regime
+        # was tried and MEASURED SLOWER than the branchless per-leaf selects
+        # (2.92 vs 2.70 ms/solve on the 8192x1024 rung): XLA already elides
+        # selects whose branches share buffers and fuses through them, while
+        # real cond branches are fusion barriers.  Kept as a seam, default
+        # off everywhere.
+        self._scalar_mode = False
         # jitted entry points (compiled lazily on first call)
         self._init_fn = self._jit(self._init_state)
         self._outer_fn = self._jit(self._outer_step)
@@ -416,7 +443,7 @@ class CaNNOLeSSolver:
     # ------------------------------------------------------------------
     # pieces
     # ------------------------------------------------------------------
-    def _H_block(self, x, lam, r, Fx, Jx, damp, data):
+    def _H_block(self, x, lam, r, Fx, JxT, damp, data):
         """Top-left KKT block: method-dependent residual Hessian minus the
         constraint-curvature term (reference prepare_newton_system!,
         CaNNOLeS.jl:947-981 + hessian_approx.jl)."""
@@ -439,7 +466,7 @@ class CaNNOLeSSolver:
             # per-column LM scaling from the reference's TODO block
             # (CaNNOLeS.jl:922-940): Λ_j = clamp(damp)·‖Jx[:,j]‖²
             scale = jnp.clip(damp, 1e-10, 1e8)
-            Hres = Hres + jnp.diag(scale * jnp.sum(Jx * Jx, axis=0))
+            Hres = Hres + jnp.diag(scale * jnp.sum(JxT * JxT, axis=1))
         return Hres
 
     def _assemble_kkt(self, H, Jx, Jcx, delta):
@@ -460,7 +487,7 @@ class CaNNOLeSSolver:
             W = W.at[n + m :, n + m :].set(-delta * jnp.eye(p, dtype=dtype))
         return W
 
-    def _assemble_condensed(self, H, Jx, Jcx, delta):
+    def _assemble_condensed(self, H, JxT, Jcx, delta):
         """Schur-condensed KKT: eliminating the residual block dr through the
         -I block (reference rows at CaNNOLeS.jl:304-306) gives the
         (n+p)-square quasi-definite system
@@ -479,7 +506,7 @@ class CaNNOLeSSolver:
         # bf16 multiplies, which destroys the conditioning of J'J (measured:
         # 65/256 batched BA scenes solved vs 256/256 with full-f32
         # arithmetic); an explicit matmul_precision overrides (see __init__)
-        M = H + jnp.matmul(Jx.T, Jx, precision=self._critical_precision)
+        M = H + jnp.matmul(JxT, JxT.T, precision=self._critical_precision)
         if p == 0:
             return M
         K = jnp.zeros((n + p, n + p), dtype=dtype)
@@ -707,7 +734,7 @@ class CaNNOLeSSolver:
         pb = self.problem
         m = pb.nequ
         r = s.Fx
-        Jxtr = s.Jx.T @ r
+        Jxtr = s.JxT @ r
         if pb.ncon > 0:
             lam = cgls(s.Jcx.T, Jxtr)
             dual = Jxtr - s.Jcx.T @ lam
@@ -731,8 +758,9 @@ class CaNNOLeSSolver:
         x = jnp.asarray(x0, dtype=dtype)
         lam = jnp.asarray(lam0, dtype=dtype)
 
-        # one linearization point: F and J share the primal trace
-        Fx, Jx = pb.F_and_J(x, data)
+        # one linearization point: F and Jᵀ share the primal trace; Jᵀ is
+        # carried in its natural (n, m) layout (see problem.Jt)
+        Fx, JxT = pb.F_and_Jt(x, data)
         broken = check_nan_inf(Fx)  # reference errors here (CaNNOLeS.jl:485-487)
         fx = 0.5 * jnp.vdot(Fx, Fx)
         cx = pb.c_shifted(x, data)
@@ -741,7 +769,7 @@ class CaNNOLeSSolver:
         neval_c = jnp.full_like(x, 1 if p > 0 else 0, shape=(), dtype=jnp.int32)
 
         r = Fx
-        Jxtr = Jx.T @ r
+        Jxtr = JxT @ r
 
         if not self.use_initial_multiplier and p > 0:
             lam_ls = cgls(Jcx.T, Jxtr)  # Armand 2012 (CaNNOLeS.jl:513)
@@ -767,7 +795,7 @@ class CaNNOLeSSolver:
             Fx=Fx,
             cx=cx,
             fx=fx,
-            Jx=Jx,
+            JxT=JxT,
             Jcx=Jcx,
             dual=dual,
             primal=primal,
@@ -826,6 +854,12 @@ class CaNNOLeSSolver:
     # ------------------------------------------------------------------
     # one outer iteration (reference while-!done body, CaNNOLeS.jl:612-857)
     # ------------------------------------------------------------------
+    def _select_fn(self, pred, true_fn, false_fn, operand):
+        """Branch (scalar mode) or branchless per-leaf select (batched)."""
+        if self._scalar_mode:
+            return lax.cond(pred, true_fn, false_fn, operand)
+        return _tree_select(pred, true_fn(operand), false_fn(operand))
+
     def _outer_step(self, s: SolverState, cfg: RunConfig) -> SolverState:
         pb, pr = self.problem, self.params
         n, m, p = pb.nvar, pb.nequ, pb.ncon
@@ -845,19 +879,19 @@ class CaNNOLeSSolver:
 
         # ---------------- inner loop ----------------
         def solve_system(s: SolverState) -> SolverState:
-            H = self._H_block(s.x, s.lam, s.r, s.Fx, s.Jx, s.damp, s.data)
+            H = self._H_block(s.x, s.lam, s.r, s.Fx, s.JxT, s.damp, s.data)
             if self.kkt == "condensed":
                 rhs_r = s.primal[:m]
-                K0 = self._assemble_condensed(H, s.Jx, s.Jcx, s.delta)
-                b = jnp.concatenate([s.dual + s.Jx.T @ rhs_r, s.primal[m:]])
+                K0 = self._assemble_condensed(H, s.JxT, s.Jcx, s.delta)
+                b = jnp.concatenate([s.dual + s.JxT @ rhs_r, s.primal[m:]])
                 z, success, rho, rho_old, nfacti = self._newton_system(K0, b, s.rho_old)
                 dx = z[:n]
                 # recover the eliminated residual step: row 2 of the full
                 # system, J dx - dr = -rhs_r with d = -W⁻¹rhs conventions
-                dr = rhs_r + s.Jx @ dx
+                dr = rhs_r + dx @ s.JxT
                 d = jnp.concatenate([dx, dr, z[n:]])
             else:
-                W0 = self._assemble_kkt(H, s.Jx, s.Jcx, s.delta)
+                W0 = self._assemble_kkt(H, s.JxT.T, s.Jcx, s.delta)
                 rhs = jnp.concatenate([s.dual, s.primal])
                 d, success, rho, rho_old, nfacti = self._newton_system(W0, rhs, s.rho_old)
             bad_d = check_nan_inf(d)
@@ -909,7 +943,7 @@ class CaNNOLeSSolver:
 
             # line-search slope / merit pieces (unused by extrapolation lanes)
             eta_ls = jnp.asarray(1.0, dtype) / s.delta if p > 0 else s.eta
-            JxtFx = s.Jx.T @ s.Fx
+            JxtFx = s.JxT @ s.Fx
             if p > 0:
                 w = s.lam - s.cx / s.delta
                 Dphi = jnp.vdot(JxtFx, dx) - jnp.vdot(dx, s.Jcx.T @ w)
@@ -920,9 +954,13 @@ class CaNNOLeSSolver:
             gammaA = jnp.asarray(pr.gamma_A, dtype)
             eps2 = jnp.asarray(float(jnp.finfo(dtype).eps) ** 2, dtype)
 
-            # shared α = 1 trial evaluation
+            # shared α = 1 trial evaluation (linearized once when the trial
+            # Jacobian can reuse it — see _reuse_trial_linearization)
             xt0 = s.x + dx
-            Ft0 = pb.F(xt0, data)
+            if self._reuse_trial_linearization:
+                Ft0, fjvp0 = jax.linearize(lambda z: pb.F(z, data), xt0)
+            else:
+                Ft0, fjvp0 = pb.F(xt0, data), None
             ct0 = pb.c_shifted(xt0, data)
             phit0 = self._merit(Ft0, ct0, s.lam, eta_ls)
 
@@ -970,6 +1008,7 @@ class CaNNOLeSSolver:
             return (
                 xt, rt, lamt, Ft, ct, alpha_out, eta, epsk, dlam,
                 nbk, nF_add, jnp.asarray(nc_add, jnp.int32), ls_broken, ls_msg,
+                fjvp0,
             )
 
         def inner_cond(c: _InnerCarry):
@@ -981,7 +1020,7 @@ class CaNNOLeSSolver:
             # skip the solve right after a failed extrapolation (the
             # inner_iter == 1 quirk, CaNNOLeS.jl:627)
             do_solve = (s.inner_iter != 1) | self.always_accept_extrapolation
-            s = _tree_select(do_solve, solve_system(s), s)
+            s = self._select_fn(do_solve, solve_system, lambda s: s, s)
 
             def when_broken(_):
                 return _InnerCarry(
@@ -991,7 +1030,7 @@ class CaNNOLeSSolver:
 
             def when_ok(_):
                 (xt, rt, lamt, Ft, ct, alpha, eta, epsk, dlam,
-                 nbk_add, nF_add, nc_add, ls_broken, ls_msg) = trial_step(s)
+                 nbk_add, nF_add, nc_add, ls_broken, ls_msg, fjvp0) = trial_step(s)
 
                 damp = s.damp
                 if self.method == "lm":
@@ -1000,14 +1039,25 @@ class CaNNOLeSSolver:
                     nF2 = jnp.vdot(s.Fx, s.Fx)
                     Ared = nF2 - jnp.vdot(Ft, Ft)
                     step_a = jnp.where(alpha == 0, jnp.ones((), dtype), alpha)
-                    pred_vec = s.Fx + step_a * (s.Jx @ s.d[:n])
+                    pred_vec = s.Fx + step_a * (s.d[:n] @ s.JxT)
                     Pred = nF2 - jnp.vdot(pred_vec, pred_vec)
                     ratio = Ared / Pred
                     damp = jnp.where(ratio > 0.75, damp / 10, jnp.where(ratio < 0.25, damp * 10, damp))
 
-                Jt = pb.J(xt, data)
+                if fjvp0 is not None:
+                    # no backtrack ⇒ xt is the linearization point: reuse
+                    # its tangent map for the trial Jacobian (saves the
+                    # jacfwd-internal primal); backtracked ⇒ fresh build
+                    def _reuse(_):
+                        from ..problem import _basis_like
+
+                        return jax.vmap(fjvp0)(_basis_like(s.x, n))
+
+                    JtT = lax.cond(nbk_add == 0, _reuse, lambda _: pb.Jt(xt, data), None)
+                else:
+                    JtT = pb.Jt(xt, data)
                 Jct = pb.Jc(xt, data)
-                Jxtr = Jt.T @ rt
+                Jxtr = JtT @ rt
                 dual_hat = Jxtr - (Jct.T @ lamt if p > 0 else jnp.zeros_like(Jxtr))
                 primal_hat = jnp.concatenate([Ft - rt, ct])
                 ndh = norm_inf(dual_hat)
@@ -1022,12 +1072,16 @@ class CaNNOLeSSolver:
                 Fx_n = jnp.where(accept, Ft, s.Fx)
                 fx_n = jnp.where(accept, 0.5 * jnp.vdot(Ft, Ft), s.fx)
                 cx_n = jnp.where(accept, ct, s.cx)
-                Jx_n = jnp.where(accept, Jt, s.Jx)
+                if self._scalar_mode:
+                    # avoid copying the (n, m) Jacobian leaf through a select
+                    JxT_n = lax.cond(accept, lambda: JtT, lambda: s.JxT)
+                else:
+                    JxT_n = jnp.where(accept, JtT, s.JxT)
                 Jcx_n = jnp.where(accept, Jct, s.Jcx)
                 lam_n = jnp.where(good, lamt, s.lam)
                 # on a rejected λ, recompute dual at the (possibly updated)
                 # iterate with the old λ (CaNNOLeS.jl:750-756)
-                dual_re = Jx_n.T @ r_n - (Jcx_n.T @ s.lam if p > 0 else jnp.zeros((n,), dtype))
+                dual_re = JxT_n @ r_n - (Jcx_n.T @ s.lam if p > 0 else jnp.zeros((n,), dtype))
                 dual_n = jnp.where(good, dual_hat, dual_re)
 
                 delta_n = s.delta
@@ -1047,7 +1101,7 @@ class CaNNOLeSSolver:
                 tired = ((neF + nec) > cfg.max_eval) | (inner_n > cfg.max_inner)
 
                 s_n = s._replace(
-                    x=x_n, r=r_n, Fx=Fx_n, fx=fx_n, cx=cx_n, Jx=Jx_n, Jcx=Jcx_n,
+                    x=x_n, r=r_n, Fx=Fx_n, fx=fx_n, cx=cx_n, JxT=JxT_n, Jcx=Jcx_n,
                     lam=lam_n, dual=dual_n, primal=primal_hat, dlam=dlam,
                     eta=eta, epsk=epsk, alpha=alpha, damp=damp, delta=delta_n,
                     inner_iter=inner_n, neval_F=neF, neval_c=nec,
@@ -1057,7 +1111,7 @@ class CaNNOLeSSolver:
                 )
                 return _InnerCarry(s_n, ndh, nph, ch, jnp.zeros((), dtype=bool), tired)
 
-            return _tree_select(s.broken, when_broken(None), when_ok(None))
+            return self._select_fn(s.broken, when_broken, when_ok, None)
 
         init_carry = _InnerCarry(
             s,
@@ -1082,7 +1136,9 @@ class CaNNOLeSSolver:
             fo = jnp.maximum(s2.normdual / sd2, s2.normprimal) <= s2.epstol
             return s2._replace(first_order=fo)
 
-        s = _tree_select(small_residual & ~first_order, recheck(s), s)
+        s = self._select_fn(
+            small_residual & ~first_order, recheck, lambda s: s, s
+        )
 
         if self.debug_print:
             # in-compiled-loop log row (reference column set, CaNNOLeS.jl:590)

@@ -16,6 +16,10 @@ load.
 Format: a single ``.npz`` with flattened leaves + a structure descriptor.
 Works for batched (vsolve) states too — every leaf just carries its batch
 axis.
+
+Version note: round 4 renamed the dense state's Jacobian field ``Jx``
+(m, n) to ``JxT`` (n, m, the natural linearize layout); checkpoints saved
+before that rename cannot be resumed by this version.
 """
 
 from __future__ import annotations

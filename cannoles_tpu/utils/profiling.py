@@ -62,12 +62,12 @@ def stage_timings(solver, x0=None, lam0=None, reps: int = 10, **numeric) -> Dict
 
     @jax.jit
     def newton_only(s):
-        H = solver._H_block(s.x, s.lam, s.r, s.Fx, s.Jx, s.damp, s.data)
+        H = solver._H_block(s.x, s.lam, s.r, s.Fx, s.JxT, s.damp, s.data)
         if solver.kkt == "condensed":
-            K0 = solver._assemble_condensed(H, s.Jx, s.Jcx, s.delta)
-            b = jnp.concatenate([s.dual + s.Jx.T @ s.primal[:m], s.primal[m:]])
+            K0 = solver._assemble_condensed(H, s.JxT, s.Jcx, s.delta)
+            b = jnp.concatenate([s.dual + s.JxT @ s.primal[:m], s.primal[m:]])
             return solver._newton_system(K0, b, s.rho_old)[0]
-        W0 = solver._assemble_kkt(H, s.Jx, s.Jcx, s.delta)
+        W0 = solver._assemble_kkt(H, s.JxT.T, s.Jcx, s.delta)
         rhs = jnp.concatenate([s.dual, s.primal])
         return solver._newton_system(W0, rhs, s.rho_old)[0]
 

@@ -167,3 +167,18 @@ def test_scaling_bench_inserts_single_device_baseline():
     assert [r["devices"] for r in rows] == [1, 2, 4]
     assert all(r["baseline_devices"] == 1 for r in rows)
     assert rows[0]["efficiency"] == pytest.approx(1.0)
+
+
+def test_vsolve_rescue_merge_path():
+    """rescue=True: unsolved lanes are re-solved gate-on and merged; solved
+    lanes are untouched; a structurally broken lane stays honestly broken."""
+    def residual(x, d):
+        return jnp.array([d[0] * (x[0] - 1), 10 * (x[1] - x[0] ** 2)])
+
+    pb = nls_problem(residual, jnp.array([-1.2, 1.0]), 2, data=jnp.ones((1,)), name="mix")
+    datas = jnp.array([[1.0], [1.0], [1e30], [1.0]])
+    x0s = jnp.broadcast_to(jnp.array([-1.2, 1.0]), (4, 2))
+    res0 = vsolve(pb, x0s, data_batch=datas, max_iter=50)
+    res1 = vsolve(pb, x0s, data_batch=datas, max_iter=50, rescue=True)
+    assert res1.solved_mask().tolist() == [True, True, False, True]
+    assert np.array_equal(res0.solution[[0, 1, 3]], res1.solution[[0, 1, 3]])
