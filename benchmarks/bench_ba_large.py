@@ -119,9 +119,29 @@ def main():
         print(f"# {name}: {row}", flush=True)
         return st
 
-    run("schur", SchurBASolver(pb, C, P, method="gauss_newton", frozen_cam_coords=frozen))
+    # measured-best per-gauge configuration (RESULTS.md gauge study):
+    # the unconstrained frozen-gauge formulation wants plain Gauss-Newton;
+    # the gauge-CONSTRAINED formulation needs LM damping (tames the
+    # feasibility-destroying transient along the near-gauge null space) +
+    # the per-outer CGLS multiplier refit (replaces the slow first-order
+    # dual walk λ ← λ − c/δ) — first_order in 12 iters at 50c/5k vs
+    # max_iter-at-60 for the round-3 config.
+    constrained = args.gauge == "constraints"
+    skw = (
+        dict(method="lm", multiplier_refit=True)
+        if constrained
+        else dict(method="gauss_newton")
+    )
+    run("schur", SchurBASolver(pb, C, P, frozen_cam_coords=frozen, **skw))
     if not args.skip_matfree:
-        run("matfree_cg", MatrixFreeSolver(pb, method="gauss_newton", cg_maxiter=600))
+        from cannoles_tpu.core.ba import ba_block_jacobi
+
+        run(
+            "matfree_cg",
+            MatrixFreeSolver(
+                pb, cg_maxiter=600, precond=ba_block_jacobi(C, P), **skw
+            ),
+        )
 
     if args.json:
         pathlib.Path(args.json).write_text(json.dumps(out, indent=1))

@@ -174,8 +174,11 @@ class SchurBASolver(MatrixFreeSolver):
         frozen_cam_coords=None,
         params: Optional[Params] = None,
         dtype=None,
+        **solver_kw,
     ):
-        super().__init__(problem, method=method, params=params, dtype=dtype)
+        super().__init__(
+            problem, method=method, params=params, dtype=dtype, **solver_kw
+        )
         self.C, self.P = int(n_cams), int(n_pts)
         if problem.nvar != 6 * self.C + 3 * self.P:
             raise ValueError(

@@ -204,6 +204,9 @@ class MatrixFreeSolver:
         cg_rtol: Optional[float] = None,
         precond="none",
         precond_probes: int = 8,
+        use_initial_multiplier: bool = False,
+        always_accept_extrapolation: bool = False,
+        multiplier_refit: bool = False,
         params: Optional[Params] = None,
         dtype=None,
     ):
@@ -237,6 +240,20 @@ class MatrixFreeSolver:
             )
         self.precond = precond
         self.precond_probes = int(precond_probes)
+        # reference kwargs (CaNNOLeS.jl:423-425), dense-solver parity
+        self.use_initial_multiplier = bool(use_initial_multiplier)
+        self.always_accept_extrapolation = bool(always_accept_extrapolation)
+        # Per-outer-iteration CGLS multiplier refit (Armand 2012 estimator,
+        # the same least-squares estimate the reference computes at init and
+        # inside optimality_check_small_residual, CaNNOLeS.jl:507-518,
+        # :866-897 — here applied every outer iteration).  Opt-in extension:
+        # the aug-Lagrangian first-order update λ ← λ − c/δ converges the
+        # dual only at rate ~c/δ per iteration, and on gauge-constrained BA
+        # the measured consequence is a λ excursion that takes >100
+        # iterations to walk back (RESULTS.md gauge study); the refit
+        # replaces the walk with the optimal least-squares multiplier at
+        # each accepted iterate (p extra CG iterations on Jc Jcᵀ per outer).
+        self.multiplier_refit = bool(multiplier_refit)
         self._init_fn = jax.jit(self._init_state)
         self._outer_fn = jax.jit(self._outer_step)
         self._run_fn = jax.jit(self._run_compiled)
@@ -387,7 +404,7 @@ class MatrixFreeSolver:
         cx = pb.c_shifted(x, data)
         r = Fx
         Jxtr = pb.jtprod_res(x, r, data)
-        if p > 0:
+        if p > 0 and not self.use_initial_multiplier:
             lam_ls = self._lam_cgls(x, Jxtr, data, itmax=min(n + p, 200))
             lam = jnp.where(norm_2(lam_ls) == 0, jnp.ones((p,), dtype=dtype), lam_ls)
         dual = Jxtr - (pb.jtprod_cons(x, lam, data) if p > 0 else 0.0)
@@ -548,7 +565,8 @@ class MatrixFreeSolver:
 
         def inner_body(c: Carry) -> Carry:
             s = c.s
-            do_solve = s.inner_iter != 1  # post-extrapolation skip quirk (:627)
+            # post-extrapolation skip quirk (:627)
+            do_solve = (s.inner_iter != 1) | self.always_accept_extrapolation
             s = lax.cond(do_solve, solve_system, lambda s: s, s)
 
             def when_broken(_):
@@ -579,7 +597,9 @@ class MatrixFreeSolver:
                 nph = jnp.maximum(norm_inf(prim_r_hat), norm_inf(ct) if p > 0 else 0.0)
                 ch = ndh + nph
                 good = (ch <= 0.99 * combined + epsk) & (~ls_broken)
-                accept = ((s.inner_iter > 0) | good) & (~ls_broken)
+                accept = (
+                    (s.inner_iter > 0) | self.always_accept_extrapolation | good
+                ) & (~ls_broken)
 
                 x_n = jnp.where(accept, xt, s.x)
                 r_n = jnp.where(accept, rt, s.r)
@@ -626,6 +646,20 @@ class MatrixFreeSolver:
             ),
         )
         s = c.s._replace(normdual=c.ndh, normprimal=c.nph)
+
+        if self.multiplier_refit and p > 0:
+            lam_fit = self._lam_cgls(
+                s.x, pb.jtprod_res(s.x, s.r, data), data, itmax=min(n + p, 200)
+            )
+            dual_fit = self._dual_at(s.x, s.r, lam_fit, data)
+            nd_fit = norm_inf(dual_fit)
+            # keep the refit only where it strictly improves the dual
+            take = nd_fit < s.normdual
+            s = s._replace(
+                lam=jnp.where(take, lam_fit, s.lam),
+                dual=jnp.where(take, dual_fit, s.dual),
+                normdual=jnp.where(take, nd_fit, s.normdual),
+            )
 
         sd = _dual_scaling(s.lam, p, dtype)
         first_order = jnp.maximum(s.normdual / sd, s.normprimal) <= s.epstol
