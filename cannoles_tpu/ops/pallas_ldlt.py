@@ -111,9 +111,21 @@ def _is_tpu() -> bool:
 def _build_pallas_call(N: int, B_blocks: int, eig_tol: float, dtype_str: str, interpret: bool):
     dtype = jnp.dtype(dtype_str)
     kernel = functools.partial(_fused_kernel, N=N, eig_tol=eig_tol)
+    # Mosaic's scoped-VMEM default is 16 MB — a compiler cap, not the
+    # hardware limit (v5e has far more).  The double-buffered (N, N, 128)
+    # input window crosses 16 MB at N = 128; size the cap to the actual
+    # footprint (in+out windows, double-buffered) with headroom.
+    itemsize = dtype.itemsize
+    footprint = 2 * (N * N + 3 * N) * _LANES * itemsize
+    params = {}
+    if footprint > 15 * 1024 * 1024:
+        params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=footprint + (4 << 20)
+        )
     return pl.pallas_call(
         kernel,
         grid=(B_blocks,),
+        **params,
         in_specs=[
             pl.BlockSpec((N, N, _LANES), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((N, _LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
