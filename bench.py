@@ -337,6 +337,7 @@ def main():
     ladder = [
         ("pallas", 4096, None),
         ("pallas", 32768, 4096),
+        ("pallas", 65536, 4096),
     ]
     if os.environ.get("BENCH_LDLT"):
         ladder.insert(0, ("ldlt", 2048, None))

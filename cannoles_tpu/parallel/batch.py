@@ -192,50 +192,76 @@ def vsolve(
 
 
 def _rescue_unsolved(solver, result, x0_batch, lam0_batch, data_batch, cfg):
-    """Gate-on re-solve of the unsolved lanes, merged back in place.
+    """Two-stage re-solve of the unsolved lanes, merged back in place.
 
-    The rescue subset is padded to the next power of two (lane-0 duplicates)
-    so repeated calls hit at most log2(B) compiled shapes."""
-    solved = result.solved_mask()
-    idx = np.nonzero(~solved)[0]
-    if idx.size == 0:
-        return result
-    gated = CaNNOLeSSolver(
-        solver.problem,
+    Stage 1: the same backend with the backward-error quality gate forced
+    on (repairs the Dϕ ≥ 0 line-search aborts — bad unpivoted f32
+    factorizations that the gate demotes into the ρ ladder).  Stage 2: any
+    lane still unsolved goes to the exact-inertia ``eigh`` backend — the
+    reference's two-backend seam (CaNNOLeS.jl:317-332).  Stage 2 exists
+    because a small tail of knife-edge f32 instances sits exactly at the
+    gate threshold: XLA's batch-shape-dependent matmul tiling flips their
+    gate verdict with batch composition (measured: the same lane solves
+    alone, fails among 127 easy lanes, solves among 8 hard ones), whereas
+    eigh is deterministic and needs no gate.  Vmapped eigh is ~70× slower
+    per lane, which is irrelevant on a ≲0.2% subset.
+
+    Each rescue subset is padded to the next power of two (lane-0
+    duplicates) so repeated calls hit at most log2(B) compiled shapes."""
+
+    def _pass(res, sibling):
+        idx = np.nonzero(~res.solved_mask())[0]
+        if idx.size == 0:
+            return res
+        k = 1 << (int(idx.size) - 1).bit_length()
+        pad = np.zeros(k, dtype=idx.dtype)
+        pad[: idx.size] = idx
+        sel = jnp.asarray(pad)
+        ds = (
+            None
+            if data_batch is None
+            else jax.tree.map(lambda a: a[sel], data_batch)
+        )
+        run = sibling.batch_runner(data_batched=data_batch is not None)
+        sub = run(x0_batch[sel], lam0_batch[sel], cfg, ds)
+        merged = jax.tree.map(
+            lambda full, part: jnp.asarray(full).at[jnp.asarray(idx)].set(
+                part[: idx.size]
+            ),
+            res.states,
+            sub,
+        )
+        return BatchResult(states=merged)
+
+    common = dict(
         method=solver.method,
-        linsolve=solver.linsolve,
         kkt=solver.kkt,
         use_initial_multiplier=solver.use_initial_multiplier,
         always_accept_extrapolation=solver.always_accept_extrapolation,
         lm_damping=solver.lm_damping,
         block_size=solver.block_size,
         params=solver.params,
-        quality_gate=True,
-        robust_fallback=solver.robust_fallback,
         matmul_precision=solver.matmul_precision,
         dtype=solver.dtype,
     )
-    k = 1 << (int(idx.size) - 1).bit_length()
-    pad = np.zeros(k, dtype=idx.dtype)
-    pad[: idx.size] = idx
-    sel = jnp.asarray(pad)
-    xs = x0_batch[sel]
-    ls = lam0_batch[sel]
-    ds = (
-        None
-        if data_batch is None
-        else jax.tree.map(lambda a: a[sel], data_batch)
-    )
-    run = gated.batch_runner(data_batched=data_batch is not None)
-    sub = run(xs, ls, cfg, ds)
-    merged = jax.tree.map(
-        lambda full, part: jnp.asarray(full).at[jnp.asarray(idx)].set(
-            part[: idx.size]
+    result = _pass(
+        result,
+        CaNNOLeSSolver(
+            solver.problem,
+            linsolve=solver.linsolve,
+            quality_gate=True,
+            robust_fallback=solver.robust_fallback,
+            **common,
         ),
-        result.states,
-        sub,
     )
-    return BatchResult(states=merged)
+    if (~result.solved_mask()).any():
+        # eigh handles either KKT form (exact inertia on the indefinite
+        # dense system); the solver's form is kept
+        result = _pass(
+            result,
+            CaNNOLeSSolver(solver.problem, linsolve="eigh", **common),
+        )
+    return result
 
 
 def _vsolve_deadline(solver, x0_batch, lam0_batch, data_batch, cfg, chunk_size, max_time):
