@@ -60,3 +60,32 @@ from cannoles_tpu import MatrixFreeSolver
 
 st2 = MatrixFreeSolver(pb2, cg_maxiter=400).solve(atol=0.0, rtol=1e-5, max_iter=60)
 print(f"matfree: {st2.status} in {st2.iter} iters, obj {st2.objective:.2e}")
+
+# ----------------------------------------------------------------------
+# 4. Gauge via equality CONSTRAINTS (exercises the constrained KKT
+#    machinery).  The round-4 recipe: LM damping tames the transient along
+#    the near-gauge null space, and the per-outer CGLS multiplier refit
+#    replaces the slow first-order dual walk — first_order in a handful of
+#    iterations where the plain configuration needs hundreds
+#    (benchmarks/RESULTS.md, gauge study).
+# ----------------------------------------------------------------------
+pb3, xt3 = large_bundle_adjustment(C, P, gauge="constraints", dtype=jnp.float32)
+# small scenes have a SMALLER initial dual, so the rtol-derived target is
+# tighter in absolute terms and f32 needs more iterations than the
+# production scales (100c/10k converges in 7; this 10c/500p needs ~90)
+st3 = SchurBASolver(pb3, C, P, method="lm", multiplier_refit=True).solve(
+    atol=0.0, rtol=1e-5, max_iter=120
+)
+print(
+    f"schur constrained: {st3.status} in {st3.iter} iters, "
+    f"|c| {st3.primal_feas:.2e}, scene err "
+    f"{np.abs(np.asarray(st3.solution) - xt3).max():.2e}"
+)
+
+# the generic engine matches with the structure-aware block preconditioner
+from cannoles_tpu.core.ba import ba_block_jacobi
+
+st4 = MatrixFreeSolver(
+    pb3, method="lm", multiplier_refit=True, precond=ba_block_jacobi(C, P)
+).solve(atol=0.0, rtol=1e-5, max_iter=120)
+print(f"matfree constrained: {st4.status} in {st4.iter} iters")
