@@ -3,7 +3,11 @@
 The structured large-problem path (VERDICT/BASELINE "structured elimination"
 item; capability analog of the reference's sparse-J handling,
 ``/root/reference/src/CaNNOLeS.jl:259-315``).  For a BA scene with C cameras
-and P landmarks on a full visibility grid, the condensed Gauss-Newton system
+and P landmarks on a (C, P) visibility grid — full or partially observed via
+a ``data["vis"]`` mask (BAL-style sparse scenes; the mask scales the
+per-observation Jacobian blocks, so the algebra sees the true sparse
+Jacobian while every contraction stays a dense MXU einsum) — the condensed
+Gauss-Newton system
 
     (rho I + JᵀJ + JcᵀJc/δ) z = b,    x = [cams (C,6); pts (P,3)]
 
@@ -66,12 +70,30 @@ def ba_block_jacobi(n_cams: int, n_pts: int, project: Optional[Callable] = None)
     The factory is rebuilt per rho-ladder attempt; its cost (the per-
     observation A/B Jacobian blocks and two einsums) is ~a handful of CG
     iterations' worth of work.
+
+    Assumes the BA layout ``x = [cams (C,6); pts (P,3)]`` with the residual
+    a raveled (C, P, 2) reprojection grid of the given ``project`` model —
+    validated against the problem dimensions at first application.  Partial
+    visibility is supported via a ``data["vis"]`` (C, P) observation mask
+    (models/ba_large.py ``visibility=``): masked observations contribute
+    nothing to the blocks, matching the masked residual's true Jacobian.  A
+    BA problem with a *different* residual layout would get a silently
+    mismatched (though still SPD, hence CG-safe) preconditioner — hence the
+    dimension check.
     """
     C, P = int(n_cams), int(n_pts)
     if project is None:
         from ..models.ba_large import project_point as project
 
     def factory(problem, x, data, rho, delta):
+        if problem.nvar != 6 * C + 3 * P or problem.nequ != 2 * C * P:
+            raise ValueError(
+                f"ba_block_jacobi({C}, {P}) expects the BA layout "
+                f"nvar=6C+3P={6*C+3*P}, nequ=2CP={2*C*P}; got "
+                f"nvar={problem.nvar}, nequ={problem.nequ} — the residual "
+                "must be the (possibly vis-masked) raveled (C, P, 2) "
+                "reprojection grid"
+            )
         cams = x[: 6 * C].reshape(C, 6)
         pts = x[6 * C :].reshape(P, 3)
 
@@ -81,6 +103,10 @@ def ba_block_jacobi(n_cams: int, n_pts: int, project: Optional[Callable] = None)
             return A, B
 
         A, B = jax.vmap(lambda c: jax.vmap(lambda p: jac_one(c, p))(pts))(cams)
+        vis = data.get("vis") if isinstance(data, dict) else None
+        if vis is not None:
+            A = A * vis[..., None, None].astype(A.dtype)
+            B = B * vis[..., None, None].astype(B.dtype)
         dtype = x.dtype
         U = jnp.einsum("cpki,cpkj->cij", A, A, precision="highest") + rho * jnp.eye(
             6, dtype=dtype
@@ -186,7 +212,8 @@ class SchurBASolver(MatrixFreeSolver):
             )
         if problem.nequ != 2 * self.C * self.P:
             raise ValueError(
-                f"nequ={problem.nequ} != 2*C*P — residual must be the full grid"
+                f"nequ={problem.nequ} != 2*C*P — residual must be the "
+                "(possibly vis-masked) raveled (C, P, 2) grid"
             )
         if project is None:
             from ..models.ba_large import project_point as project
@@ -233,6 +260,14 @@ class SchurBASolver(MatrixFreeSolver):
 
         A, B = jax.vmap(lambda c: jax.vmap(lambda p: jac_one(c, p))(pts))(cams)
         # A: (C, P, 2, 6); B: (C, P, 2, 3) — all contractions below are MXU
+        # partial visibility (models/ba_large.py visibility=): the residual
+        # is vis ⊙ (proj − obs), so each observation's Jacobian rows carry
+        # the same mask — scale A/B and every U/V/W block is exact for the
+        # sparse scene while the contractions stay dense grid einsums
+        vis = data.get("vis") if isinstance(data, dict) else None
+        if vis is not None:
+            A = A * vis[..., None, None].astype(A.dtype)
+            B = B * vis[..., None, None].astype(B.dtype)
         if self._cam_mask is not None:
             A = A * self._cam_mask.astype(A.dtype)[:, None, None, :]
         U = jnp.einsum("cpki,cpkj->cij", A, A, precision="highest")

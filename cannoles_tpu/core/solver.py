@@ -216,6 +216,7 @@ class CaNNOLeSSolver:
         use_initial_multiplier: bool = False,
         always_accept_extrapolation: bool = False,
         lm_damping: bool = False,
+        multiplier_refit: bool = False,
         block_size: int = 32,
         kkt: str = "full",
         debug_print: bool = False,
@@ -244,6 +245,18 @@ class CaNNOLeSSolver:
         self.use_initial_multiplier = bool(use_initial_multiplier)
         self.always_accept_extrapolation = bool(always_accept_extrapolation)
         self.lm_damping = bool(lm_damping)
+        # Per-outer-iteration CGLS multiplier refit (Armand 2012 estimator —
+        # the same least-squares estimate the reference computes at init and
+        # inside optimality_check_small_residual, CaNNOLeS.jl:507-518,
+        # :866-897 — applied every outer iteration, kept only where it
+        # strictly improves the dual norm).  The aug-Lagrangian first-order
+        # update λ ← λ − c/δ converges the dual at rate ~c/δ and carries an
+        # f32 noise floor ~eps/δmin on near-degenerate constraints (round-3
+        # diagnosis); the refit replaces the walk with the optimal
+        # least-squares multiplier.  Matches the matfree engines'
+        # multiplier_refit (core/matfree.py) so every engine — including
+        # batched vsolve — has the dual-floor escape hatch.
+        self.multiplier_refit = bool(multiplier_refit)
         self.block_size = int(block_size)
         # backward-error gate on factorization attempts: default on only for
         # KKT sizes where fixed-order elimination has room to misjudge
@@ -430,6 +443,7 @@ class CaNNOLeSSolver:
             use_initial_multiplier=self.use_initial_multiplier,
             always_accept_extrapolation=self.always_accept_extrapolation,
             lm_damping=self.lm_damping,
+            multiplier_refit=self.multiplier_refit,
             block_size=self.block_size,
             kkt=self.kkt,
             params=self.params,
@@ -1124,6 +1138,23 @@ class CaNNOLeSSolver:
         c = lax.while_loop(inner_cond, inner_body, init_carry)
         s = c.s._replace(normdual=c.normdualhat, normprimal=c.normprimalhat)
 
+        if self.multiplier_refit and p > 0:
+            # per-outer CGLS multiplier refit, kept only where it strictly
+            # improves the dual (same recipe as core/matfree.py — the
+            # measured escape from the λ ← λ − c/δ f32 dual floor); costs
+            # one fixed-budget CGLS on the already-carried Jc per outer
+            # iteration, fully vmappable.
+            Jxtr_f = s.JxT @ s.r
+            lam_fit = cgls(s.Jcx.T, Jxtr_f)
+            dual_fit = Jxtr_f - s.Jcx.T @ lam_fit
+            nd_fit = norm_inf(dual_fit)
+            take = (nd_fit < s.normdual) & (~s.broken)
+            s = s._replace(
+                lam=jnp.where(take, lam_fit, s.lam),
+                dual=jnp.where(take, dual_fit, s.dual),
+                normdual=jnp.where(take, nd_fit, s.normdual),
+            )
+
         # ---------------- outer bookkeeping (CaNNOLeS.jl:790-856) ----------------
         sd = _dual_scaling(s.lam, p, dtype)
         first_order = jnp.maximum(s.normdual / sd, s.normprimal) <= s.epstol
@@ -1314,6 +1345,7 @@ def cannoles(
     lam=None,
     use_initial_multiplier: bool = False,
     always_accept_extrapolation: bool = False,
+    multiplier_refit: bool = False,
     callback=None,
     max_time: float = 30.0,
     verbose: int = 0,
@@ -1354,6 +1386,11 @@ def cannoles(
         (stop when ‖F‖ ≤ Fatol + Frtol·‖F⁰‖ and ‖c‖ ≤ √ϵtol).
     verbose : print a log row every ``verbose`` outer iterations.
     always_accept_extrapolation : run even if the extrapolation step fails.
+    multiplier_refit : re-estimate λ by CGLS (Armand 2012, the reference's
+        init/small-residual estimator, CaNNOLeS.jl:507-518) after every outer
+        iteration, kept only where it improves the dual norm.  Escapes the
+        f32 dual floor of the λ ← λ − c/δ walk on near-degenerate
+        constraints (e.g. gauge-constrained bundle adjustment).
     callback : ``callback(problem, state, stats)`` per outer iteration; set
         ``stats.status = 'user'`` to stop.
 
@@ -1378,6 +1415,7 @@ def cannoles(
         robust_fallback=auto,
         use_initial_multiplier=use_initial_multiplier,
         always_accept_extrapolation=always_accept_extrapolation,
+        multiplier_refit=multiplier_refit,
     )
     return solver.solve(
         x0=x, lam0=lam, callback=callback, max_time=max_time, verbose=verbose, **numeric

@@ -58,6 +58,7 @@ def large_bundle_adjustment(
     noise: float = 0.0,
     seed: int = 0,
     gauge: str = "constraints",
+    visibility: float = 1.0,
     dtype=jnp.float32,
 ) -> Tuple[NLSProblem, np.ndarray]:
     """Synthesize one consistent large scene; returns (problem, x_true).
@@ -66,6 +67,16 @@ def large_bundle_adjustment(
     the raveled (C, P, 2) reprojection error — evaluated as one batched
     vmap-of-vmap of :func:`project_point` (pure MXU/VPU work, no Python
     loops), so jvp/vjp through it stay cheap for the matrix-free surface.
+
+    ``visibility``: fraction of (camera, landmark) pairs observed (default
+    1.0 = full grid).  Below 1.0 a Bernoulli mask ``data["vis"]`` (C, P) is
+    drawn — with every landmark forced visible in ≥ 2 cameras so the scene
+    stays well-posed — and the residual is ``vis ⊙ (proj − obs)``.  This is
+    the TPU-native restatement of BAL-style sparse scenes (the reference
+    handles arbitrary sparsity via COO storage, CaNNOLeS.jl:259-315; here
+    the static-shape grid is masked, so XLA keeps every contraction dense
+    and MXU-tiled while the *algebra* — including the SchurBASolver's
+    analytic U/V/W blocks — sees the true sparse Jacobian).
 
     ``gauge``: how the 7-dof similarity gauge freedom is removed —
 
@@ -101,6 +112,17 @@ def large_bundle_adjustment(
     obs = np.asarray(_proj_grid(jnp.asarray(cams_true), jnp.asarray(X_true)))
     obs = obs + noise * rng.normal(size=obs.shape)
 
+    vis = None
+    if visibility < 1.0:
+        vis = (rng.random((C, P)) < visibility).astype(np.float64)
+        # well-posedness: every landmark needs ≥ 2 observing cameras (a 3D
+        # point seen once is depth-unconstrained → singular V block)
+        for p_idx in np.nonzero(vis.sum(axis=0) < 2)[0]:
+            vis[rng.choice(C, size=2, replace=False), p_idx] = 1.0
+        # and every camera needs ≥ 6 observations to constrain its pose
+        for c_idx in np.nonzero(vis.sum(axis=1) < 6)[0]:
+            vis[c_idx, rng.choice(P, size=6, replace=False)] = 1.0
+
     base2 = float(np.sum((t_true[1] - t_true[0]) ** 2))
     pose0 = cams_true[0].copy()
     # frozen-gauge coordinate set: pose 0 (6) + camera 1's x translation (1).
@@ -111,13 +133,21 @@ def large_bundle_adjustment(
     gauge_idx = np.concatenate([np.arange(6), [9]])
     gauge_vals = x_true[gauge_idx].copy()
 
+    masked = vis is not None
+
+    def _err(cams, pts, d):
+        e = _proj_grid(cams, pts) - d["obs"]
+        if masked:
+            e = e * d["vis"][..., None]
+        return e.reshape(-1)
+
     if gauge == "fixed":
 
         def residual(x, d):
             x_eff = x.at[d["gidx"]].set(d["gvals"])
             cams = x_eff[: 6 * C].reshape(C, 6)
             pts = x_eff[6 * C :].reshape(P, 3)
-            return (_proj_grid(cams, pts) - d["obs"]).reshape(-1)
+            return _err(cams, pts, d)
 
         cons = None
     else:
@@ -125,7 +155,7 @@ def large_bundle_adjustment(
         def residual(x, d):
             cams = x[: 6 * C].reshape(C, 6)
             pts = x[6 * C :].reshape(P, 3)
-            return (_proj_grid(cams, pts) - d["obs"]).reshape(-1)
+            return _err(cams, pts, d)
 
         def cons(x, d):
             c_pin = x[:6] - d["pose0"]
@@ -142,6 +172,8 @@ def large_bundle_adjustment(
         "pose0": jnp.asarray(pose0, dtype=dtype),
         "base2": jnp.asarray([base2], dtype=dtype),
     }
+    if masked:
+        data["vis"] = jnp.asarray(vis, dtype=dtype)
     if gauge == "fixed":
         data["gidx"] = jnp.asarray(gauge_idx, dtype=jnp.int32)
         data["gvals"] = jnp.asarray(gauge_vals, dtype=dtype)
@@ -153,6 +185,7 @@ def large_bundle_adjustment(
         None if cons is None else np.zeros(7),
         None if cons is None else np.zeros(7),
         data=data,
-        name=f"ba_large_{C}c{P}p_{gauge}",
+        name=f"ba_large_{C}c{P}p_{gauge}"
+        + (f"_vis{visibility:g}" if masked else ""),
     )
     return pb, x_true

@@ -38,6 +38,8 @@ class BatchResult:
     """Batched terminal states + host-side summary accessors."""
 
     states: SolverState  # every leaf has a leading batch axis
+    # the solver vsolve ran with (auto-construction is observable/reusable)
+    solver: Optional[CaNNOLeSSolver] = None
 
     @property
     def solution(self):
@@ -94,6 +96,7 @@ def vsolve(
     solver: Optional[CaNNOLeSSolver] = None,
     method: str = "newton",
     linsolve: str = "auto",
+    kkt: str = "auto",
     mesh: Optional[Mesh] = None,
     max_iter: int = 100,
     chunk_size: Optional[int] = None,
@@ -108,6 +111,10 @@ def vsolve(
     carry a leading B axis, parameterizing per-instance problem data.  With a
     ``mesh``, the batch axis is sharded across its devices.
 
+    ``kkt``: 'auto' (default — same measured-best policy as ``cannoles()``:
+    condensed (n+p)² Schur form for m ≫ n families) | 'full' | 'condensed'.
+    Ignored when ``solver`` is passed.
+
     ``max_time``: approximate wall-clock budget in seconds (reference budget
     semantics, CaNNOLeS.jl:123-125).  A compiled batch cannot be interrupted
     mid-flight, so the budget is enforced *between chunks*: dispatch switches
@@ -117,28 +124,46 @@ def vsolve(
     ± one chunk's solve time; requires ``mesh=None``.
 
     ``rescue``: re-solve the unsolved lanes (only) with the backward-error
-    quality gate forced on, from their ORIGINAL starts, and merge.  The f32
-    unpivoted LDLᵀ occasionally delivers a non-descent direction on an
+    quality gate forced on, from their ORIGINAL starts, then any still-
+    unsolved lanes on the exact-inertia ``eigh`` backend, and merge.  The
+    f32 unpivoted LDLᵀ occasionally delivers a non-descent direction on an
     ill-conditioned early iterate (line-search abort, the reference's
     Dϕ ≥ 0 error); the gate demotes those factorizations so the ρ ladder
     regularizes instead.  Running gated everywhere costs a measured ~14%
     batch throughput at tiny N, so the default path stays ungated and the
     rescue pays the gate only for the (typically ≲0.5%) failed lanes —
     measured 4085/4096 → 4096/4096 on the headline rung at full speed.
+    Composes with every dispatch mode: under ``max_time`` the rescue runs
+    only if budget remains and only on dispatched lanes; with a solver that
+    already runs gated, the identical stage 1 is skipped and the eigh stage
+    still runs (no silently-ignored kwarg combinations).
     """
     problem.validate_for_solve()
     if solver is None:
+        # kkt='auto' routes through the same measured-best policy as
+        # cannoles() (resolve_auto): a batched m ≫ n family gets the
+        # condensed (n+p)² Schur form, not the full (n+m+p)² system.
         # linsolve='auto' under vmap: the lanes-batched Pallas LDLᵀ kernel is
         # the measured-best batched backend (RESULTS.md kernel table: 2.6×
         # faster inside the full solver and far more f32-robust than the
-        # vmapped blocked-jnp path) wherever the full KKT fits its VMEM cap;
-        # beyond the cap fall back to 'ldlt'.
-        if linsolve == "auto":
-            from ..core.solver import _pallas_batch_cap
+        # vmapped blocked-jnp path) wherever the KKT — full OR condensed
+        # quasi-definite — fits its VMEM cap; beyond the cap fall back to
+        # the two-level 'chol' (condensed GN/LM) or blocked 'ldlt'.
+        from ..core.solver import _check_available_method, _pallas_batch_cap, resolve_auto
 
-            N = problem.nvar + problem.nequ + problem.ncon
-            linsolve = "pallas" if N <= _pallas_batch_cap() else "ldlt"
-        solver = CaNNOLeSSolver(problem, method=method, linsolve=linsolve)
+        method_r = _check_available_method(method)
+        if kkt == "auto":
+            _, kkt, _ = resolve_auto(problem, method_r, "auto", "auto")
+        if linsolve == "auto":
+            n, m, p = problem.nvar, problem.nequ, problem.ncon
+            N = (n + p) if kkt == "condensed" else (n + m + p)
+            if N <= _pallas_batch_cap():
+                linsolve = "pallas"
+            elif kkt == "condensed" and method_r in ("gauss_newton", "lm"):
+                linsolve = "chol"
+            else:
+                linsolve = "ldlt"
+        solver = CaNNOLeSSolver(problem, method=method, linsolve=linsolve, kkt=kkt)
     x0_batch = jnp.asarray(x0_batch, dtype=solver.dtype)
     B = x0_batch.shape[0]
     if lam0_batch is None:
@@ -153,9 +178,21 @@ def vsolve(
                 "vsolve(max_time=...) requires mesh=None: the budget is "
                 "enforced by host-driven chunk dispatch"
             )
-        return _vsolve_deadline(
+        result, remaining = _vsolve_deadline(
             solver, x0_batch, lam0_batch, data_batch, cfg, chunk_size, max_time
         )
+        if rescue and remaining > 0:
+            # honor rescue under deadline dispatch (round-4 finding: it was
+            # silently dropped).  Only dispatched-but-failed lanes are
+            # eligible — lanes stamped max_time were never run, and the
+            # budget already spoke for them; the rescue itself runs only
+            # while budget remains.
+            eligible = result.status != Status.MAX_TIME
+            result = _rescue_unsolved(
+                solver, result, x0_batch, lam0_batch, data_batch, cfg,
+                skip_stage1=solver.quality_gate, eligible=eligible,
+            )
+        return result
 
     use_chunks = (
         chunk_size is not None and mesh is None and B % chunk_size == 0 and B > chunk_size
@@ -183,15 +220,19 @@ def vsolve(
             data_batch = jax.tree.map(lambda a: jax.device_put(a, sh), data_batch)
 
     states = run(x0_batch, lam0_batch, cfg, data_batch)
-    result = BatchResult(states=states)
-    if rescue and not solver.quality_gate:
+    result = BatchResult(states=states, solver=solver)
+    if rescue:
         result = _rescue_unsolved(
-            solver, result, x0_batch, lam0_batch, data_batch, cfg
+            solver, result, x0_batch, lam0_batch, data_batch, cfg,
+            skip_stage1=solver.quality_gate,
         )
     return result
 
 
-def _rescue_unsolved(solver, result, x0_batch, lam0_batch, data_batch, cfg):
+def _rescue_unsolved(
+    solver, result, x0_batch, lam0_batch, data_batch, cfg,
+    skip_stage1: bool = False, eligible=None,
+):
     """Two-stage re-solve of the unsolved lanes, merged back in place.
 
     Stage 1: the same backend with the backward-error quality gate forced
@@ -206,11 +247,20 @@ def _rescue_unsolved(solver, result, x0_batch, lam0_batch, data_batch, cfg):
     eigh is deterministic and needs no gate.  Vmapped eigh is ~70× slower
     per lane, which is irrelevant on a ≲0.2% subset.
 
+    ``skip_stage1``: when the caller's solver already runs gated, stage 1
+    would be an identical re-run — skip straight to the eigh stage (round-4
+    advisor finding: rescue must not silently no-op for gated solvers).
+    ``eligible``: optional boolean lane mask restricting which unsolved
+    lanes may be rescued (deadline dispatch excludes never-run lanes).
+
     Each rescue subset is padded to the next power of two (lane-0
     duplicates) so repeated calls hit at most log2(B) compiled shapes."""
 
     def _pass(res, sibling):
-        idx = np.nonzero(~res.solved_mask())[0]
+        bad = ~res.solved_mask()
+        if eligible is not None:
+            bad &= np.asarray(eligible)
+        idx = np.nonzero(bad)[0]
         if idx.size == 0:
             return res
         k = 1 << (int(idx.size) - 1).bit_length()
@@ -231,7 +281,7 @@ def _rescue_unsolved(solver, result, x0_batch, lam0_batch, data_batch, cfg):
             res.states,
             sub,
         )
-        return BatchResult(states=merged)
+        return BatchResult(states=merged, solver=res.solver)
 
     common = dict(
         method=solver.method,
@@ -239,21 +289,23 @@ def _rescue_unsolved(solver, result, x0_batch, lam0_batch, data_batch, cfg):
         use_initial_multiplier=solver.use_initial_multiplier,
         always_accept_extrapolation=solver.always_accept_extrapolation,
         lm_damping=solver.lm_damping,
+        multiplier_refit=solver.multiplier_refit,
         block_size=solver.block_size,
         params=solver.params,
         matmul_precision=solver.matmul_precision,
         dtype=solver.dtype,
     )
-    result = _pass(
-        result,
-        CaNNOLeSSolver(
-            solver.problem,
-            linsolve=solver.linsolve,
-            quality_gate=True,
-            robust_fallback=solver.robust_fallback,
-            **common,
-        ),
-    )
+    if not skip_stage1:
+        result = _pass(
+            result,
+            CaNNOLeSSolver(
+                solver.problem,
+                linsolve=solver.linsolve,
+                quality_gate=True,
+                robust_fallback=solver.robust_fallback,
+                **common,
+            ),
+        )
     if (~result.solved_mask()).any():
         # eigh handles either KKT form (exact inertia on the indefinite
         # dense system); the solver's form is kept
@@ -269,7 +321,9 @@ def _vsolve_deadline(solver, x0_batch, lam0_batch, data_batch, cfg, chunk_size, 
 
     Lanes in chunks never dispatched are initialized (one residual/constraint
     evaluation — needed for an honest terminal state) and stamped
-    ``Status.MAX_TIME`` unless the init itself already terminated them."""
+    ``Status.MAX_TIME`` unless the init itself already terminated them.
+    Returns ``(BatchResult, remaining_budget_seconds)`` so the caller can
+    decide whether a rescue pass still fits the budget."""
     B = x0_batch.shape[0]
     chunk = min(B, 1024 if chunk_size is None else int(chunk_size))
     t0 = time.time()
@@ -306,4 +360,4 @@ def _vsolve_deadline(solver, x0_batch, lam0_batch, data_batch, cfg, chunk_size, 
             expired = (time.time() - t0) > max_time
         out.append(st)
     states = jax.tree.map(lambda *ls: jnp.concatenate(ls, axis=0), *out)
-    return BatchResult(states=states)
+    return BatchResult(states=states, solver=solver), max_time - (time.time() - t0)

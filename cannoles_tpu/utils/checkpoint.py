@@ -18,8 +18,8 @@ Works for batched (vsolve) states too — every leaf just carries its batch
 axis.
 
 Version note: round 4 renamed the dense state's Jacobian field ``Jx``
-(m, n) to ``JxT`` (n, m, the natural linearize layout); checkpoints saved
-before that rename cannot be resumed by this version.
+(m, n) to ``JxT`` (n, m, the natural linearize layout); ``load_state``
+migrates old checkpoints transparently (transposes the stored leaf).
 """
 
 from __future__ import annotations
@@ -74,6 +74,11 @@ def load_state(path, data_template=None):
         meta = json.loads(str(z["__meta__"]))
         cls = _KINDS[meta.get("kind", "SolverState")]
         kw = {name: jax.numpy.asarray(z[name]) for name in meta["fields"]}
+        if "Jx" in kw and cls is SolverState:
+            # pre-round-4 checkpoint: the dense Jacobian was stored as Jx
+            # (..., m, n); migrate to the natural linearize layout JxT
+            # (..., n, m) instead of failing with an opaque TypeError
+            kw["JxT"] = jax.numpy.swapaxes(kw.pop("Jx"), -2, -1)
         if meta.get("has_data"):
             n = meta["n_data_leaves"]
             data_leaves = [jax.numpy.asarray(z[f"data__{i}"]) for i in range(n)]

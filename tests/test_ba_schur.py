@@ -162,3 +162,65 @@ def test_multiplier_refit_breaks_dual_floor():
     assert st.status == "first_order", st.status
     assert st.dual_feas < 1e-9
     assert np.abs(np.asarray(st.solution) - x_true).max() < 1e-8
+
+
+def test_schur_step_matches_dense_solve_partial_visibility():
+    """Round-5 partial-visibility support (BAL-style sparse scenes): with a
+    data['vis'] observation mask the analytically assembled U/V/W blocks
+    must see the true masked Jacobian — one _solve_condensed call on a
+    30%-visibility scene must match the densely materialized operator."""
+    C, P = 3, 12
+    pb, _ = large_bundle_adjustment(
+        C, P, noise=0.0, seed=0, visibility=0.3, dtype=jnp.float64
+    )
+    assert "vis" in pb.data and float(np.asarray(pb.data["vis"]).mean()) < 1.0
+    solver = SchurBASolver(pb, C, P)
+    cfg = solver.make_config()
+    s = solver._init_fn(pb.x0, pb.y0, cfg, pb.data)
+    rho = jnp.asarray(1e-3, jnp.float64)
+    zx, ok, _ = solver._solve_condensed(s, rho)
+    assert bool(ok)
+    J = np.asarray(pb.J(s.x, pb.data))
+    Jc = np.asarray(pb.Jc(s.x, pb.data))
+    M = float(rho) * np.eye(pb.nvar) + J.T @ J + Jc.T @ Jc / float(s.delta)
+    bx = (
+        np.asarray(s.dual)
+        + J.T @ np.asarray(s.prim_r)
+        + Jc.T @ np.asarray(s.cx) / float(s.delta)
+    )
+    ref = np.linalg.solve(M, bx)
+    assert np.allclose(np.asarray(zx), ref, atol=1e-8 * (1 + np.abs(ref).max()))
+
+
+def test_schur_ba_partial_visibility_converges():
+    """A partial-visibility frozen-gauge scene must solve first_order on the
+    direct Schur path AND on the generic matfree + block-Jacobi path (the
+    round-4 gap: SchurBASolver required the full grid)."""
+    from cannoles_tpu.core.ba import ba_block_jacobi
+
+    C, P = 4, 40
+    pb, x_true = large_bundle_adjustment(
+        C, P, noise=0.0, seed=1, gauge="fixed", visibility=0.3, dtype=jnp.float64
+    )
+    frozen = np.asarray(pb.data["gidx"])
+    tol = dict(atol=1e-11, rtol=0.0, max_iter=60)
+    st = SchurBASolver(pb, C, P, frozen_cam_coords=frozen).solve(**tol)
+    assert st.status in ("first_order", "small_residual"), st.status
+    assert st.objective < 1e-14
+    # the direct path recovers the true scene (zero-noise, well-posed mask)
+    assert np.abs(np.asarray(st.solution) - x_true).max() < 1e-4
+    st2 = MatrixFreeSolver(pb, cg_maxiter=500, precond=ba_block_jacobi(C, P)).solve(**tol)
+    assert st2.status in ("first_order", "small_residual"), st2.status
+    assert st2.objective < 1e-14
+
+
+def test_ba_block_jacobi_validates_layout():
+    """Round-4 advisor finding: the preconditioner factory must reject a
+    problem whose dimensions don't match the declared (C, P) BA layout
+    instead of silently building a mismatched preconditioner."""
+    from cannoles_tpu.core.ba import ba_block_jacobi
+
+    pb, _ = _scene()
+    factory = ba_block_jacobi(4, 12)  # wrong C for this 3x12 scene
+    with pytest.raises(ValueError, match="BA layout"):
+        factory(pb, jnp.asarray(pb.x0), pb.data, 0.0, 1.0)
