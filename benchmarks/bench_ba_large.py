@@ -32,6 +32,10 @@ def main():
     ap.add_argument("--cams", type=int, default=100)
     ap.add_argument("--pts", type=int, default=10_000)
     ap.add_argument("--gauge", choices=["constraints", "fixed"], default="fixed")
+    ap.add_argument(
+        "--visibility", type=float, default=1.0,
+        help="fraction of (cam, pt) pairs observed (BAL-style sparse scene)",
+    )
     ap.add_argument("--json", default=None)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--skip-matfree", action="store_true")
@@ -44,18 +48,25 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        str(pathlib.Path(__file__).resolve().parents[1] / ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from cannoles_tpu.core.ba import SchurBASolver
     from cannoles_tpu.core.matfree import MatrixFreeSolver
     from cannoles_tpu.models.ba_large import large_bundle_adjustment
 
     C, P = args.cams, args.pts
     print(
-        f"# scene: {C} cams x {P} pts (gauge={args.gauge}) -> "
-        f"nvar={6*C+3*P}, nequ={2*C*P}",
+        f"# scene: {C} cams x {P} pts (gauge={args.gauge}, "
+        f"visibility={args.visibility}) -> nvar={6*C+3*P}, nequ={2*C*P}",
         flush=True,
     )
     pb, x_true = large_bundle_adjustment(
-        C, P, noise=0.0, seed=0, gauge=args.gauge, dtype=jnp.float32
+        C, P, noise=0.0, seed=0, gauge=args.gauge,
+        visibility=args.visibility, dtype=jnp.float32,
     )
     # reference benchmark protocol tolerances (docs/src/benchmark.md:26-47:
     # atol=0, rtol=1e-5) — f32-reachable on the gauge-fixed formulation;
@@ -66,7 +77,10 @@ def main():
         np.asarray(pb.data["gidx"]) if args.gauge == "fixed" else None
     )
 
-    out = {"cams": C, "pts": P, "gauge": args.gauge, "nvar": pb.nvar, "nequ": pb.nequ}
+    out = {
+        "cams": C, "pts": P, "gauge": args.gauge, "nvar": pb.nvar,
+        "nequ": pb.nequ, "visibility": args.visibility,
+    }
 
     def device_solve_time(solver, iters_hint):
         """Device-side full-solve seconds via in-graph repetition
@@ -95,10 +109,7 @@ def main():
             return time.perf_counter() - t0
         return (min(t(f2) for _ in range(2)) - min(t(f1) for _ in range(2))) / 2
 
-    def run(name, solver):
-        t0 = time.time()
-        st = solver.solve(max_time=3000.0, **tol)
-        wall = time.time() - t0
+    def _row(st, wall, extra=None):
         err = float(np.abs(np.asarray(st.solution, np.float64) - x_true).max())
         row = {
             "status": st.status,
@@ -111,34 +122,84 @@ def main():
             "nfact": st.solver_specific["nfact"],
             "ncg": st.solver_specific["ncg"],
         }
+        if extra:
+            row.update(extra)
+        return row
+
+    def run(name, make_solver, polish_atol=2e-7):
+        """Measured-best per-gauge recipe (RESULTS.md gauge study).
+
+        Frozen gauge: plain Gauss-Newton, one phase.  Gauge-CONSTRAINED:
+        three phases —
+
+        1. LM + multiplier_refit at the reference protocol (atol=0,
+           rtol=1e-5): the damping tames the feasibility-destroying
+           transient along the near-gauge null space; exits first_order at
+           the (loose, because ‖∇L⁰‖ is huge at 2M residuals) relative tol.
+        2. Gauss-Newton continuation (resume + re-target, atol=1e-5
+           absolute): past the transient the full Newton step converges the
+           objective essentially to the f32 floor in ~3 iterations.
+        3. GN polish at ``polish_atol``: walks the dual toward its f32
+           noise floor.  Engine-specific target — the matfree CG engine
+           reaches 2e-7 and its Krylov steps also walk the near-null gauge
+           mode down (recovery ~8e-5); the direct Schur engine plateaus at
+           ~1e-6 (its rho-ladder regularizes failed rho=0 attempts at
+           rho0 = eps^(1/3) ≈ 5e-3 in f32, freezing the near-null mode at
+           recovery ~7e-3 — measured, see RESULTS.md; resume the matfree
+           engine from its state to recover the last decade).
+
+        Round-4 reported phase 1 alone as "the fix"; its objective lands
+        4 orders above the frozen-gauge run (2.2e-2 vs 8.3e-7).  The
+        continuation closes that honestly: the final constrained objective
+        is ~1e-9 — BELOW frozen-gauge — with recovery ~8e-5.
+        """
+        t0 = time.time()
+        solver = make_solver(
+            dict(method="lm", multiplier_refit=True)
+            if constrained
+            else dict(method="gauss_newton")
+        )
+        st = solver.solve(max_time=3000.0, **tol)
+        wall = time.time() - t0
+        if constrained and st.status == "first_order":
+            out[name + "_phase1"] = _row(st, wall)
+            print(f"# {name}_phase1: {out[name + '_phase1']}", flush=True)
+            gn = make_solver(dict(method="gauss_newton", multiplier_refit=True))
+            t1 = time.time()
+            st = gn.solve(
+                resume_from=solver.last_state, atol=1e-5, rtol=0.0,
+                Fatol=0.0, Frtol=0.0, max_iter=tol["max_iter"] + 60,
+                max_time=3000.0,
+            )
+            st = gn.solve(
+                resume_from=gn.last_state, atol=polish_atol, rtol=0.0,
+                Fatol=0.0, Frtol=0.0, max_iter=tol["max_iter"] + 200,
+                max_time=3000.0,
+            )
+            wall = time.time() - t0
+            solver = gn
+            out[name] = _row(st, wall, {"polish_wall_s": round(time.time() - t1, 2)})
+        else:
+            out[name] = _row(st, wall)
         try:
-            row["device_solve_s"] = round(device_solve_time(solver, st.iter), 3)
+            out[name]["device_solve_s"] = round(device_solve_time(solver, st.iter), 3)
         except Exception as e:  # noqa: BLE001
-            row["device_solve_s"] = f"failed: {e}"
-        out[name] = row
-        print(f"# {name}: {row}", flush=True)
+            out[name]["device_solve_s"] = f"failed: {e}"
+        print(f"# {name}: {out[name]}", flush=True)
         return st
 
-    # measured-best per-gauge configuration (RESULTS.md gauge study):
-    # the unconstrained frozen-gauge formulation wants plain Gauss-Newton;
-    # the gauge-CONSTRAINED formulation needs LM damping (tames the
-    # feasibility-destroying transient along the near-gauge null space) +
-    # the per-outer CGLS multiplier refit (replaces the slow first-order
-    # dual walk λ ← λ − c/δ) — first_order in 12 iters at 50c/5k vs
-    # max_iter-at-60 for the round-3 config.
     constrained = args.gauge == "constraints"
-    skw = (
-        dict(method="lm", multiplier_refit=True)
-        if constrained
-        else dict(method="gauss_newton")
+    run(
+        "schur",
+        lambda skw: SchurBASolver(pb, C, P, frozen_cam_coords=frozen, **skw),
+        polish_atol=1e-6,
     )
-    run("schur", SchurBASolver(pb, C, P, frozen_cam_coords=frozen, **skw))
     if not args.skip_matfree:
         from cannoles_tpu.core.ba import ba_block_jacobi
 
         run(
             "matfree_cg",
-            MatrixFreeSolver(
+            lambda skw: MatrixFreeSolver(
                 pb, cg_maxiter=600, precond=ba_block_jacobi(C, P), **skw
             ),
         )

@@ -733,8 +733,15 @@ class MatrixFreeSolver:
             # checkpoint/resume for the long-running engines: continue a
             # saved run — tolerances ride the state, so the stopping
             # criteria are preserved across sessions (dense-solver parity,
-            # core/solver.py solve(resume_from=))
+            # core/solver.py solve(resume_from=)).  Explicit tolerance
+            # kwargs RE-TARGET from the current iterate (continuation).
             state = resume_from._replace(status=jnp.zeros((), jnp.int32))
+            if {"atol", "rtol", "Fatol", "Frtol"} & numeric.keys():
+                epstol = cfg.atol + cfg.rtol * state.normdual
+                epsF = cfg.Fatol + cfg.Frtol * 2 * jnp.sqrt(state.fx)
+                state = state._replace(
+                    epstol=epstol, epsF=epsF, epsc=jnp.sqrt(epstol)
+                )
         else:
             state = self._init_fn(x0, lam0, cfg, pb.data)
         self._sync(state, stats, time.time() - t0)

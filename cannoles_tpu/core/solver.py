@@ -83,12 +83,18 @@ def _check_available_method(method: str) -> str:
     return method
 
 
-# Full-KKT size up to which the lanes-batched Pallas LDLᵀ kernel is the
-# measured-best vmapped backend (ops/pallas_ldlt.py dispatch cap).
+# KKT size up to which the lanes-batched Pallas LDLᵀ kernel is the
+# measured-best vmapped backend (ops/pallas_ldlt.py dispatch cap).  The
+# auto policy respects the compile-budget gate: N = 97..160 needs the
+# explicit CANNOLES_PALLAS_LARGE_N opt-in (Mosaic compile is minutes there).
 def _pallas_batch_cap() -> int:
-    from ..ops.pallas_ldlt import PALLAS_MAX_N
+    from ..ops.pallas_ldlt import (
+        PALLAS_EAGER_MAX_N,
+        PALLAS_MAX_N,
+        pallas_large_n_opt_in,
+    )
 
-    return PALLAS_MAX_N
+    return PALLAS_MAX_N if pallas_large_n_opt_in() else PALLAS_EAGER_MAX_N
 
 
 def resolve_auto(problem, method: str, linsolve: str, kkt: str):
@@ -1264,8 +1270,19 @@ class CaNNOLeSSolver:
 
         if resume_from is not None:
             # checkpoint/resume: continue a saved run — tolerances ride the
-            # state, so stopping criteria are preserved across sessions
+            # state, so stopping criteria are preserved across sessions.
+            # Passing explicit tolerance kwargs RE-TARGETS the run from the
+            # current iterate (continuation/refinement: ϵtol = atol +
+            # rtol·‖∇L‖_current) — the mechanism behind two-phase solves
+            # that first meet the reference's relative exit, then polish to
+            # an absolute target (e.g. gauge-constrained BA, RESULTS.md).
             state = resume_from._replace(status=jnp.zeros((), jnp.int32))
+            if {"atol", "rtol", "Fatol", "Frtol"} & numeric.keys():
+                epstol = cfg.atol + cfg.rtol * state.normdual
+                epsF = cfg.Fatol + cfg.Frtol * 2 * jnp.sqrt(state.fx)
+                state = state._replace(
+                    epstol=epstol, epsF=epsF, epsc=jnp.sqrt(epstol)
+                )
         else:
             state = self._init_fn(x0, lam0, cfg, self.problem.data)
         self._sync_stats(state, stats, time.time() - t0)

@@ -29,6 +29,8 @@ On non-TPU backends the kernel runs in interpreter mode (tests).
 from __future__ import annotations
 
 import functools
+import os
+import warnings
 
 import jax
 import jax.numpy as jnp
@@ -39,7 +41,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .ldlt import ldlt_factor, ldlt_solve
 
-__all__ = ["fused_ldlt_solve", "batched_ldlt_solve_pallas", "PALLAS_MAX_N"]
+__all__ = [
+    "fused_ldlt_solve",
+    "batched_ldlt_solve_pallas",
+    "PALLAS_MAX_N",
+    "PALLAS_EAGER_MAX_N",
+    "pallas_large_n_opt_in",
+]
 
 _LANES = 128
 
@@ -49,6 +57,23 @@ _LANES = 128
 # ~2·N²·128·4 B — N = 160 uses ~13 MB of the ~16 MB VMEM.  Above this the
 # custom_vmap rule falls back to the vmapped blocked-jnp path.
 PALLAS_MAX_N = 160
+
+# Compile-budget threshold: the kernel's N loop is fully unrolled (Mosaic TC
+# has no dynamic slicing over the elimination index), so Mosaic compile time
+# grows ~N³ — measured 50 s at N = 96, 220 s at N = 128, 411 s at N = 160
+# (RESULTS.md mid-size table).  The persistent compilation cache amortizes
+# it, but a first-run user must not silently wait 7 minutes: between
+# PALLAS_EAGER_MAX_N and PALLAS_MAX_N the dispatch warns and falls back to
+# the vmapped blocked-jnp path unless the user opts in (env
+# CANNOLES_PALLAS_LARGE_N=1 — the kernel is 2-6.6× faster per solve there,
+# so opting in pays off for any long-lived or cache-warm deployment).
+PALLAS_EAGER_MAX_N = 96
+
+
+def pallas_large_n_opt_in() -> bool:
+    """True when the user accepted the minutes-scale Mosaic compile of the
+    unrolled kernel at N = 97..160 (env ``CANNOLES_PALLAS_LARGE_N=1``)."""
+    return os.environ.get("CANNOLES_PALLAS_LARGE_N", "") not in ("", "0")
 
 
 def _fused_kernel(W_ref, rhs_ref, x_ref, d_ref, *, N: int, eig_tol: float):
@@ -180,8 +205,24 @@ def _make_fused(eig_tol: float, nb: int):
         N = W.shape[-1]
         # VMEM budget: the in-place kernel holds one (N, N, 128) block
         # (double-buffered across grid steps); beyond PALLAS_MAX_N fall back
-        # to the vmapped blocked-jnp path
-        if N > PALLAS_MAX_N:
+        # to the vmapped blocked-jnp path.  Between PALLAS_EAGER_MAX_N and
+        # PALLAS_MAX_N the unrolled kernel's Mosaic compile costs minutes
+        # (~N³ growth): warn + fall back unless the user opted in.
+        use_kernel = N <= PALLAS_EAGER_MAX_N or (
+            N <= PALLAS_MAX_N and pallas_large_n_opt_in()
+        )
+        if not use_kernel:
+            if N <= PALLAS_MAX_N:
+                warnings.warn(
+                    f"pallas LDLT at N={N}: Mosaic compile of the unrolled "
+                    f"kernel takes minutes above N={PALLAS_EAGER_MAX_N} "
+                    "(measured 220 s at N=128, 411 s at N=160; cached "
+                    "afterwards).  Falling back to the vmapped blocked-jnp "
+                    "path; set CANNOLES_PALLAS_LARGE_N=1 to opt in to the "
+                    "kernel (2-6.6x faster per solve once compiled).",
+                    stacklevel=2,
+                )
+
             def one(Wi, ri):
                 fac = ldlt_factor(Wi, eig_tol, nb=nb)
                 return ldlt_solve(fac, ri, eig_tol), fac.vec
