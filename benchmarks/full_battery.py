@@ -16,13 +16,17 @@ Each problem runs with the reference default configuration (newton / full
 KKT), first with the fast unpivoted ``linsolve='ldlt'`` and — on an
 exception status — one robust ``linsolve='eigh'`` retry (the same
 ldlt-then-eigh escalation that ``cannoles(..., linsolve='auto')`` performs;
-the reference's two-backend seam, CaNNOLeS.jl:317-320).  Two GENERIC
+the reference's two-backend seam, CaNNOLeS.jl:317-320).  Three GENERIC
 rescues then apply to every problem (no per-problem flags):
 
 * still unsolved → one retry with the documented ``delta_min=1e-4``
   safeguard (tames the δ-schedule thrash signature: the aug-Lagrangian
   multiplier update λ ← λ − c/δ amplifies roundoff at the reference
   δmin = √eps on near-degenerate constraints);
+* still unsolved → one retry with ``kkt='condensed',
+  multiplier_refit=True`` (round 5: the configuration that solves the
+  whole battery uniformly in f64 and repairs f32 multiplier blow-ups on
+  rank-deficient-Jacobian constrained problems);
 * unsolved, or first_order at an objective measurably above the known
   optimum (a local minimum — the reference would simply return it) →
   one batched multistart sweep (the TPU-native rescue: 64 perturbed
@@ -115,6 +119,21 @@ def main():
                 )
                 if _ok(st2):
                     stats, rescue = st2, "delta_min"
+            # generic rescue 1b: unsolved → condensed KKT + per-outer CGLS
+            # multiplier refit at full-precision matmuls (round 5; the
+            # configuration that solves the whole battery uniformly in f64 —
+            # see perf_profile — and that rescues f32 multiplier blow-ups on
+            # rank-deficient-Jacobian constrained problems like
+            # brown_almost_linear+linear.  matmul_precision='highest'
+            # matters on TPU, where default-f32 matmuls run bf16 multiplies:
+            # a rescue pass buys robustness, not speed; no-op on CPU).
+            if not _ok(stats):
+                st2b = CaNNOLeSSolver(
+                    pb, kkt="condensed", multiplier_refit=True,
+                    matmul_precision="highest",
+                ).solve(atol=0.0, rtol=1e-5, max_time=args.max_time)
+                if _ok(st2b):
+                    stats, rescue = st2b, "condensed_refit"
             # generic rescue 2: unsolved, or stationary above the known
             # optimum (local minimum) → batched multistart sweep
             local_min = (

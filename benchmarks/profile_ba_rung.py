@@ -184,7 +184,7 @@ def main():
     # — a while_loop over a batch executes until every lane is done)
     mult = dict(
         kernel=float(nfact.max()),
-        jacobian=float(nlin.max()) + float(iters.max()),  # init+trial rebuilds
+        jacobian=float(nlin.max()) + 1.0,  # init + per-inner trial rebuild
         condensation=float(nlin.max()),
         residual=float(nF.max()),
     )
