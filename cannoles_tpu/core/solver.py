@@ -495,17 +495,29 @@ class CaNNOLeSSolver:
         pb = self.problem
         n, m, p = pb.nvar, pb.nequ, pb.ncon
         dtype = H.dtype
-        N = n + m + p
-        W = jnp.zeros((N, N), dtype=dtype)
-        W = W.at[:n, :n].set(H)
-        W = W.at[n : n + m, :n].set(Jx)
-        W = W.at[:n, n : n + m].set(Jx.T)
-        W = W.at[n : n + m, n : n + m].set(-jnp.eye(m, dtype=dtype))
-        if p > 0:
-            W = W.at[n + m :, :n].set(Jcx)
-            W = W.at[:n, n + m :].set(Jcx.T)
-            W = W.at[n + m :, n + m :].set(-delta * jnp.eye(p, dtype=dtype))
-        return W
+        # Block-concatenate instead of .at[].set scatters: under vmap the
+        # scatter chain lowers to serialized full-array updates that XLA
+        # cannot fuse — measured 0.39 ms vs 0.02 ms per batched assembly at
+        # the BA-rung shapes (benchmarks/profile_ba_rung.py, round 5).
+        Im = -jnp.eye(m, dtype=dtype)
+        if p == 0:
+            return jnp.concatenate(
+                [
+                    jnp.concatenate([H, Jx.T], axis=1),
+                    jnp.concatenate([Jx, Im], axis=1),
+                ],
+                axis=0,
+            )
+        Zmp = jnp.zeros((m, p), dtype=dtype)
+        Ip = -delta * jnp.eye(p, dtype=dtype)
+        return jnp.concatenate(
+            [
+                jnp.concatenate([H, Jx.T, Jcx.T], axis=1),
+                jnp.concatenate([Jx, Im, Zmp], axis=1),
+                jnp.concatenate([Jcx, Zmp.T, Ip], axis=1),
+            ],
+            axis=0,
+        )
 
     def _assemble_condensed(self, H, JxT, Jcx, delta):
         """Schur-condensed KKT: eliminating the residual block dr through the
@@ -520,7 +532,7 @@ class CaNNOLeSSolver:
         factorization instead of O((n+m+p)³) — the BASELINE north-star form,
         and the hot path for m ≫ n.  JᵀJ is one MXU matmul."""
         pb = self.problem
-        n, p = pb.nvar, pb.ncon
+        p = pb.ncon
         dtype = H.dtype
         # critical precision (default 'highest'): TPU f32 matmuls default to
         # bf16 multiplies, which destroys the conditioning of J'J (measured:
@@ -529,12 +541,15 @@ class CaNNOLeSSolver:
         M = H + jnp.matmul(JxT, JxT.T, precision=self._critical_precision)
         if p == 0:
             return M
-        K = jnp.zeros((n + p, n + p), dtype=dtype)
-        K = K.at[:n, :n].set(M)
-        K = K.at[n:, :n].set(Jcx)
-        K = K.at[:n, n:].set(Jcx.T)
-        K = K.at[n:, n:].set(-delta * jnp.eye(p, dtype=dtype))
-        return K
+        # concat assembly, not scatters — see _assemble_kkt note (20x on the
+        # batched BA rung, where this is 47% of the device budget)
+        return jnp.concatenate(
+            [
+                jnp.concatenate([M, Jcx.T], axis=1),
+                jnp.concatenate([Jcx, -delta * jnp.eye(p, dtype=dtype)], axis=1),
+            ],
+            axis=0,
+        )
 
     def _solve_quality_ok(self, W, sol, rhs):
         """Backward-error gate on a factorization attempt.

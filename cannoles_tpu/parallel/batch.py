@@ -253,8 +253,19 @@ def _rescue_unsolved(
     ``eligible``: optional boolean lane mask restricting which unsolved
     lanes may be rescued (deadline dispatch excludes never-run lanes).
 
-    Each rescue subset is padded to the next power of two (lane-0
-    duplicates) so repeated calls hit at most log2(B) compiled shapes."""
+    Each rescue subset is padded to the next power of two so repeated calls
+    hit at most log2(B) compiled shapes; pad slots carry the OUT-OF-RANGE
+    index B, so the jitted scatter-merge drops them (``mode='drop'``) and a
+    pad lane can never overwrite a real lane's state.
+
+    Dispatch economy (round-5 finding): with the rescue inside the timed
+    region, its cost is dominated not by device compute (the subset is
+    ≲0.2% of lanes) but by host-side overhead per repetition — re-tracing a
+    freshly constructed sibling solver and dispatching one un-jitted
+    ``.at[].set`` merge per state leaf (~25 ms tunnel latency each, ~30
+    leaves).  The siblings are therefore cached on the primary solver, the
+    (x0, λ0, data) gather is one jitted call, and the merge is one jitted
+    call — four dispatches per pass total."""
 
     def _pass(res, sibling):
         bad = ~res.solved_mask()
@@ -263,57 +274,67 @@ def _rescue_unsolved(
         idx = np.nonzero(bad)[0]
         if idx.size == 0:
             return res
+        B = x0_batch.shape[0]
         k = 1 << (int(idx.size) - 1).bit_length()
-        pad = np.zeros(k, dtype=idx.dtype)
+        pad = np.full(k, B, dtype=np.int64)  # B = out of range → merge drops
         pad[: idx.size] = idx
-        sel = jnp.asarray(pad)
-        ds = (
-            None
-            if data_batch is None
-            else jax.tree.map(lambda a: a[sel], data_batch)
-        )
+        sel_in = jnp.asarray(np.minimum(pad, B - 1))  # in-range for gather
+        xg, lg, dg = _gather_tree((x0_batch, lam0_batch, data_batch), sel_in)
         run = sibling.batch_runner(data_batched=data_batch is not None)
-        sub = run(x0_batch[sel], lam0_batch[sel], cfg, ds)
-        merged = jax.tree.map(
-            lambda full, part: jnp.asarray(full).at[jnp.asarray(idx)].set(
-                part[: idx.size]
-            ),
-            res.states,
-            sub,
-        )
+        sub = run(xg, lg, cfg, dg)
+        merged = _scatter_merge(res.states, sub, jnp.asarray(pad))
         return BatchResult(states=merged, solver=res.solver)
 
-    common = dict(
-        method=solver.method,
-        kkt=solver.kkt,
-        use_initial_multiplier=solver.use_initial_multiplier,
-        always_accept_extrapolation=solver.always_accept_extrapolation,
-        lm_damping=solver.lm_damping,
-        multiplier_refit=solver.multiplier_refit,
-        block_size=solver.block_size,
-        params=solver.params,
-        matmul_precision=solver.matmul_precision,
-        dtype=solver.dtype,
-    )
+    cache = solver.__dict__.setdefault("_rescue_siblings", {})
+
+    def _sibling(kind):
+        sib = cache.get(kind)
+        if sib is None:
+            common = dict(
+                method=solver.method,
+                kkt=solver.kkt,
+                use_initial_multiplier=solver.use_initial_multiplier,
+                always_accept_extrapolation=solver.always_accept_extrapolation,
+                lm_damping=solver.lm_damping,
+                multiplier_refit=solver.multiplier_refit,
+                block_size=solver.block_size,
+                params=solver.params,
+                matmul_precision=solver.matmul_precision,
+                dtype=solver.dtype,
+            )
+            if kind == "gated":
+                sib = CaNNOLeSSolver(
+                    solver.problem,
+                    linsolve=solver.linsolve,
+                    quality_gate=True,
+                    robust_fallback=solver.robust_fallback,
+                    **common,
+                )
+            else:
+                # eigh handles either KKT form (exact inertia on the
+                # indefinite dense system); the solver's form is kept
+                sib = CaNNOLeSSolver(solver.problem, linsolve="eigh", **common)
+            cache[kind] = sib
+        return sib
+
     if not skip_stage1:
-        result = _pass(
-            result,
-            CaNNOLeSSolver(
-                solver.problem,
-                linsolve=solver.linsolve,
-                quality_gate=True,
-                robust_fallback=solver.robust_fallback,
-                **common,
-            ),
-        )
+        result = _pass(result, _sibling("gated"))
     if (~result.solved_mask()).any():
-        # eigh handles either KKT form (exact inertia on the indefinite
-        # dense system); the solver's form is kept
-        result = _pass(
-            result,
-            CaNNOLeSSolver(solver.problem, linsolve="eigh", **common),
-        )
+        result = _pass(result, _sibling("eigh"))
     return result
+
+
+@jax.jit
+def _gather_tree(tree, sel):
+    return jax.tree.map(lambda a: a[sel], tree)
+
+
+@jax.jit
+def _scatter_merge(full_states, part_states, sel):
+    """Write the rescued lanes back; out-of-range pad indices are dropped."""
+    return jax.tree.map(
+        lambda f, p: f.at[sel].set(p, mode="drop"), full_states, part_states
+    )
 
 
 def _vsolve_deadline(solver, x0_batch, lam0_batch, data_batch, cfg, chunk_size, max_time):
