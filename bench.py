@@ -121,14 +121,16 @@ def build_problem(dtype):
 
 
 def run_config(problem, linsolve, B, chunk, dtype, reps=3):
-    """One ladder rung.  The timed runs INCLUDE the two-stage rescue pass
-    (gate-on re-solve of unsolved lanes, then exact-inertia eigh for the
-    knife-edge tail), so the reported rate is the full cost of reaching the
-    reported solved count — not a pre-rescue rate paired with a post-rescue
-    count (round-4 advisor finding).  The rare f32 Dϕ ≥ 0 line-search
-    aborts are bad unpivoted factorizations the backward-error gate repairs
-    via the rho ladder; gating everywhere costs ~14% throughput, rescuing
-    ≲0.5% of lanes costs ~nothing — which the inclusive timing now proves.
+    """One ladder rung.  The timed runs INCLUDE the host-side rescue pass,
+    so the reported rate is the full cost of reaching the reported solved
+    count — not a pre-rescue rate paired with a post-rescue count (round-4
+    advisor finding).  Since round 5 the rescue is expected to be a no-op:
+    the rare f32 Dϕ ≥ 0 line-search aborts (bad unpivoted factorizations
+    that pass the pivot-sign inertia test) are repaired IN-GRAPH by the
+    solver's ``descent_rescue`` — an `enabled`-masked gate-on ρ ladder that
+    re-solves exactly the non-descent lanes inside the compiled program
+    (measured +13 ms on the B=65536 rung vs ~150 ms of host dispatch for
+    the old subset re-solve, and ~14% for gating everywhere).
     Returns the failure breakdown pre-rescue and the final solved count."""
     from cannoles_tpu import CaNNOLeSSolver
     from cannoles_tpu.core.status import MSG, status_name

@@ -230,6 +230,7 @@ class CaNNOLeSSolver:
         delta_min: Optional[float] = None,
         quality_gate: Optional[bool] = None,
         robust_fallback: bool = False,
+        descent_rescue: bool = True,
         matmul_precision: Optional[str] = None,
         pallas_chol_min: Optional[int] = None,
         dtype=None,
@@ -286,6 +287,27 @@ class CaNNOLeSSolver:
         # two-backend seam of the reference run per-iteration); meaningless
         # for the already-exact eigh backend
         self.robust_fallback = bool(robust_fallback) and linsolve != "eigh"
+        # In-graph repair of non-descent directions (round-5): an unpivoted
+        # f32 elimination can pass the pivot-sign inertia test at rho=0 yet
+        # deliver a direction with Dϕ ≥ 0, which the reference turns into a
+        # hard line-search error (CaNNOLeS.jl:1085).  Before breaking the
+        # lane, re-solve the SAME assembled system with the backward-error
+        # gate forced on, then (still non-descent) on exact-inertia eigh —
+        # both as `enabled`-masked rho ladders that cost zero trips when no
+        # lane is bad.  Removes the need for a host-side re-solve pass for
+        # this failure mode; lanes that fail even eigh still break exactly
+        # as the reference does.  Meaningless when the primary IS eigh.
+        self.descent_rescue = bool(descent_rescue) and linsolve != "eigh"
+        # Optional second (exact-inertia eigh) descent-rescue stage.
+        # Measured OFF by default: on the B=65536 headline rung the gated
+        # stage alone repairs every non-descent lane at +13 ms, while
+        # staging the eigh ladder into the compiled iteration costs ~1.0 s
+        # (batched tiny-N eigh lowers poorly, and the whole chunk pays
+        # whenever one lane triggers).  Lanes the gate cannot fix still
+        # break exactly as the reference does and are caught by the
+        # host-side ``vsolve(rescue=True)`` eigh pass, which prices the
+        # exotic tail per failed lane instead of per chunk-iteration.
+        self._descent_rescue_eigh = False
         self.debug_print = bool(debug_print)
         self.last_state: Optional[SolverState] = None
         self.dtype = jnp.dtype(dtype) if dtype is not None else jnp.asarray(problem.x0).dtype
@@ -455,6 +477,7 @@ class CaNNOLeSSolver:
             params=self.params,
             quality_gate=self.quality_gate,
             robust_fallback=self.robust_fallback,
+            descent_rescue=self.descent_rescue,
             matmul_precision=self.matmul_precision,
             pallas_chol_min=self.pallas_chol_min,
             dtype=self.dtype,
@@ -706,14 +729,20 @@ class CaNNOLeSSolver:
             ),
         )
 
-    def _newton_system(self, W0, rhs, rho_old):
+    def _newton_system(self, W0, rhs, rho_old, bad_direction=None):
         """Inertia-corrected factorize-and-solve: the rho ladder around the
         primary backend, plus (robust_fallback) a second exact-inertia eigh
         ladder entered only at primary-ladder exhaustion — the in-loop
         two-backend seam of the reference (MA57 primary with an
         LDLFactorizations fallback, CaNNOLeS.jl:317-332), replacing the
         round-2 whole-solve restart: no second compiled program, no
-        discarded iterates."""
+        discarded iterates.
+
+        ``bad_direction(d) -> bool``: optional per-lane predicate marking a
+        *successful* solve whose step d is unusable (non-descent, Dϕ ≥ 0).
+        With ``descent_rescue`` on, such lanes re-enter the ladder with the
+        backward-error gate forced on, then on exact-inertia eigh — both
+        ``enabled``-masked so they cost zero trips when no lane is bad."""
         pb, pr = self.problem, self.params
         n = pb.nvar
         diag_idx = jnp.arange(n)
@@ -721,17 +750,28 @@ class CaNNOLeSSolver:
         def attempt(rho):
             return self._attempt(W0.at[diag_idx, diag_idx].add(rho), rhs)
 
+        def attempt_gated(rho):
+            W = W0.at[diag_idx, diag_idx].add(rho)
+            sol, suc = self._attempt_raw(W, rhs)
+            return sol, suc & self._solve_quality_ok(W, sol, rhs)
+
+        from ..ops.ldlt import eigh_factor, eigh_solve
+
+        def attempt_eigh(rho):
+            W = W0.at[diag_idx, diag_idx].add(rho)
+            fac = eigh_factor(W, pr.eig_tol)
+            sol = eigh_solve(fac, rhs, pr.eig_tol)
+            return sol, inertia_success(fac.vec, fac.mat, n, pr.eig_tol)
+
+        def merge(out, out2, need, take):
+            # need: lanes that ran the retry ladder (counts its attempts);
+            # take: lanes that adopt its result
+            nfact_all = out.nfact + jnp.where(need, out2.nfact, 0)
+            return _tree_select(take, out2, out)._replace(nfact=nfact_all)
+
         out = self._rho_ladder(attempt, rhs, rho_old)
 
         if self.robust_fallback:
-            from ..ops.ldlt import eigh_factor, eigh_solve
-
-            def attempt_eigh(rho):
-                W = W0.at[diag_idx, diag_idx].add(rho)
-                fac = eigh_factor(W, pr.eig_tol)
-                sol = eigh_solve(fac, rhs, pr.eig_tol)
-                return sol, inertia_success(fac.vec, fac.mat, n, pr.eig_tol)
-
             # Trigger whenever the primary needed ANY regularization: an
             # unpivoted elimination that misjudges inertia at rho=0 doesn't
             # fail its ladder — it spuriously *regularizes* (measured on
@@ -742,9 +782,19 @@ class CaNNOLeSSolver:
             # gated loop costs zero trips when no lane regularized.
             need = (out.rho != 0) | (~out.success)
             out2 = self._rho_ladder(attempt_eigh, rhs, rho_old, enabled=need)
-            take = need & (out2.success | (~out.success))
-            nfact_all = out.nfact + jnp.where(need, out2.nfact, 0)
-            out = _tree_select(take, out2, out)._replace(nfact=nfact_all)
+            out = merge(out, out2, need, need & (out2.success | (~out.success)))
+
+        if bad_direction is not None and self.descent_rescue:
+            bad = out.success & bad_direction(-out.sol)
+            if not self.quality_gate:
+                outg = self._rho_ladder(attempt_gated, rhs, rho_old, enabled=bad)
+                out = merge(out, outg, bad,
+                            bad & outg.success & (~bad_direction(-outg.sol)))
+                bad = out.success & bad_direction(-out.sol)
+            if self._descent_rescue_eigh:
+                oute = self._rho_ladder(attempt_eigh, rhs, rho_old, enabled=bad)
+                out = merge(out, oute, bad,
+                            bad & oute.success & (~bad_direction(-oute.sol)))
 
         rho_old_new = jnp.where(
             out.rho == 0,
@@ -915,11 +965,28 @@ class CaNNOLeSSolver:
         # ---------------- inner loop ----------------
         def solve_system(s: SolverState) -> SolverState:
             H = self._H_block(s.x, s.lam, s.r, s.Fx, s.JxT, s.damp, s.data)
+            if self.descent_rescue:
+                # same slope as trial_step's Dϕ (reference CaNNOLeS.jl:1080);
+                # d[:n] = dx in both the full and the condensed ordering.
+                # Extrapolation iterations (inner_iter == 0) never require
+                # descent, so they are never rescued.
+                JxtFx = s.JxT @ s.Fx
+                Jcw = s.Jcx.T @ (s.lam - s.cx / s.delta) if p > 0 else None
+
+                def bad_direction(d):
+                    Dphi = jnp.vdot(JxtFx, d[:n])
+                    if Jcw is not None:
+                        Dphi = Dphi - jnp.vdot(d[:n], Jcw)
+                    return (Dphi >= 0) & (s.inner_iter != 0)
+            else:
+                bad_direction = None
             if self.kkt == "condensed":
                 rhs_r = s.primal[:m]
                 K0 = self._assemble_condensed(H, s.JxT, s.Jcx, s.delta)
                 b = jnp.concatenate([s.dual + s.JxT @ rhs_r, s.primal[m:]])
-                z, success, rho, rho_old, nfacti = self._newton_system(K0, b, s.rho_old)
+                z, success, rho, rho_old, nfacti = self._newton_system(
+                    K0, b, s.rho_old, bad_direction
+                )
                 dx = z[:n]
                 # recover the eliminated residual step: row 2 of the full
                 # system, J dx - dr = -rhs_r with d = -W⁻¹rhs conventions
@@ -928,7 +995,9 @@ class CaNNOLeSSolver:
             else:
                 W0 = self._assemble_kkt(H, s.JxT.T, s.Jcx, s.delta)
                 rhs = jnp.concatenate([s.dual, s.primal])
-                d, success, rho, rho_old, nfacti = self._newton_system(W0, rhs, s.rho_old)
+                d, success, rho, rho_old, nfacti = self._newton_system(
+                    W0, rhs, s.rho_old, bad_direction
+                )
             bad_d = check_nan_inf(d)
             # clamp the 1e60 guard to the dtype range (in Float32 the
             # reference's T(1e60) is Inf — same semantics)

@@ -201,3 +201,77 @@ def test_pallas_midsize_compile_gate(monkeypatch):
     assert _pallas_batch_cap() == pmod.PALLAS_MAX_N
     monkeypatch.delenv("CANNOLES_PALLAS_LARGE_N")
     assert _pallas_batch_cap() == pmod.PALLAS_EAGER_MAX_N
+
+
+def test_descent_rescue_repairs_nondescent_lanes_in_graph():
+    """In-graph descent rescue (round 5): an unpivoted f32 LDLᵀ can pass the
+    pivot-sign inertia test at ρ=0 yet deliver a non-descent direction
+    (Dϕ ≥ 0), which the reference turns into a hard line-search error
+    (CaNNOLeS.jl:1085) and which previously required the host-side
+    ``vsolve(rescue=True)`` re-solve.  ``descent_rescue`` (default on)
+    re-enters the ρ ladder with the backward-error gate forced on for
+    exactly those lanes, inside the compiled program.  The bench family at
+    f32 with the headline seed reproduces the failure deterministically."""
+
+    def residual(x, d):
+        return jnp.array([x[0] - d[0], 10 * (x[1] - x[0] ** 2) - d[1]])
+
+    def cons(x, d):
+        return jnp.array([x[0] + x[1] - d[2]])
+
+    dtype = jnp.float32
+    pb = nls_problem(
+        residual, jnp.array([-1.2, 1.0], dtype=dtype), 2, cons, [0.0], [0.0],
+        data=jnp.zeros((3,), dtype=dtype), name="descent_rescue_family",
+    )
+    B = 4096
+    rng = np.random.default_rng(0)
+    x0s = jnp.asarray(rng.normal(scale=0.5, size=(B, 2)) + [-1.2, 1.0], dtype=dtype)
+    datas = jnp.asarray(
+        np.stack(
+            [1 + 0.2 * rng.normal(size=B), 0.1 * rng.normal(size=B),
+             1 + 0.2 * rng.normal(size=B)], axis=1,
+        ),
+        dtype=dtype,
+    )
+
+    def run(dr):
+        s = CaNNOLeSSolver(
+            pb, method="lm", linsolve="ldlt", kkt="full", dtype=dtype,
+            quality_gate=False, descent_rescue=dr,
+        )
+        return vsolve(pb, x0s, data_batch=datas, solver=s, max_iter=50)
+
+    r_off = run(False)
+    bad = ~r_off.solved_mask()
+    # the failure mode this feature targets must actually occur (msg 5 =
+    # "Dϕ ≥ 0"); otherwise the test is vacuous
+    assert bad.any() and np.all(np.asarray(r_off.states.msg)[bad] == 5)
+
+    r_on = run(True)
+    assert int(r_on.summary()["solved"]) == B
+    # untouched lanes keep identical iterates: the rescue is surgical
+    good = ~bad
+    np.testing.assert_array_equal(
+        np.asarray(r_on.states.x)[good], np.asarray(r_off.states.x)[good]
+    )
+
+
+def test_descent_rescue_neutral_on_f64_trajectories():
+    """With healthy f64 factorizations the rescue ladders never trigger:
+    the full solve trajectory is bit-identical with the feature on or off
+    (it only stages zero-trip while_loops)."""
+    pb = nls_problem(
+        lambda x: jnp.array([x[0] - 1, 10 * (x[1] - x[0] ** 2)]),
+        jnp.array([-1.2, 1.0]), 2,
+        lambda x: jnp.array([x[0] + x[1] - 1.0]), [0.0], [0.0],
+        name="rosenbrock_eq",
+    )
+    outs = []
+    for dr in (False, True):
+        s = CaNNOLeSSolver(pb, method="newton", linsolve="ldlt", descent_rescue=dr)
+        st = s.solve()
+        outs.append((st.status, np.asarray(st.solution), st.iter))
+    assert outs[0][0] == outs[1][0] == "first_order"
+    assert outs[0][2] == outs[1][2]
+    np.testing.assert_array_equal(outs[0][1], outs[1][1])
