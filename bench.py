@@ -35,8 +35,10 @@ Resilience: every default rung is a Pallas- or Cholesky-backed program whose
 cold XLA compile is seconds (the compile-heavy vmapped `ldlt` rung that
 starved round 2's run is opt-in via BENCH_LDLT=1).  Rungs run under a
 wall-clock budget (env BENCH_BUDGET, default 450 s) with a persistent
-compilation cache (committed, primed on the final commit so the driver's
-fresh checkout starts warm); every completed rung is reported, and "extra"
+compilation cache (`.jax_cache/`, on disk and primed by the builder's runs
+so the driver's rerun in this working tree starts warm; gitignored — a
+truly fresh checkout pays the ~25 s ladder warmup measured in "extra");
+every completed rung is reported, and "extra"
 carries warmup (compile) and total wall-clock so compile regressions are
 visible in the record.
 """

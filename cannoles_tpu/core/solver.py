@@ -1369,6 +1369,18 @@ class CaNNOLeSSolver:
                 )
         else:
             state = self._init_fn(x0, lam0, cfg, self.problem.data)
+        if not getattr(self, "_outer_warm", False):
+            # Exclude jit compilation from the max_time budget: the
+            # reference's budget times the solve (CaNNOLeS.jl:123-125), and
+            # a cold XLA compile of the outer step (minutes at large N) would
+            # otherwise stamp max_time before one iteration ran.  One step is
+            # executed and DISCARDED to populate the jit call cache — it is
+            # a pure function so no host state changes; cost is one extra
+            # compiled step (~ms).  (With debug_print=True the first
+            # iteration's in-graph prints appear twice.)
+            jax.block_until_ready(self._outer_fn(state, cfg).x)
+            self._outer_warm = True
+            t0 = time.time()
         self._sync_stats(state, stats, time.time() - t0)
         if verbose > 0:
             self._log_header()

@@ -275,3 +275,38 @@ def test_descent_rescue_neutral_on_f64_trajectories():
     assert outs[0][0] == outs[1][0] == "first_order"
     assert outs[0][2] == outs[1][2]
     np.testing.assert_array_equal(outs[0][1], outs[1][1])
+
+
+def test_max_time_budget_excludes_first_compile(monkeypatch):
+    """solve() excludes jit compilation from the max_time budget (round 5):
+    a cold XLA compile of the outer step can exceed max_time by itself and
+    must not stamp max_time before one iteration has run.  Simulated by
+    jumping the wall clock +100 s during the warmup (= compile slot) call:
+    the solve must still converge under max_time=30."""
+    import time as _time
+
+    import cannoles_tpu.core.solver as solver_mod
+
+    pb = nls_problem(
+        lambda x: jnp.array([x[0] - 1, 10 * (x[1] - x[0] ** 2)]),
+        jnp.array([-1.2, 1.0]), 2, name="clockjump",
+    )
+    s = CaNNOLeSSolver(pb)
+    real_time = _time.time
+    pending = {"jump": 100.0}
+    orig_outer = s._outer_fn
+
+    def outer_with_clock_jump(st, cfg):
+        out = orig_outer(st, cfg)
+        if pending["jump"]:
+            shift = pending.pop("jump", 0.0) or 0.0
+            pending["jump"] = 0.0
+            monkeypatch.setattr(solver_mod.time, "time", lambda: real_time() + shift)
+        return out
+
+    monkeypatch.setattr(s, "_outer_fn", outer_with_clock_jump)
+    st = s.solve(max_time=30.0)
+    assert st.status == "first_order", (
+        "compile-slot wall time leaked into the max_time budget: "
+        f"{st.status}"
+    )
