@@ -149,10 +149,19 @@ def run_config(problem, linsolve, B, chunk, dtype, reps=3):
         dtype=dtype,
     )
 
+    # Straggler cap (round 5): a vmapped chunk runs in lockstep to its
+    # slowest lane, and rare pathological lanes burn 100s–1000s of inner
+    # iterations (measured: sum of per-chunk max nlinsolve 997 on this rung
+    # vs a p99 of 8 — stragglers, not throughput, set the chunk wall).
+    # max_eval=48 bounds the fast pass (p99 lane needs 18 evals); capped
+    # lanes exit `max_eval` and the rescue's budget stage re-solves them as
+    # a small gathered subset at the reference budgets.  Measured on this
+    # rung: 425k -> 513k inst/s, still 65536/65536; on a straggler-heavy
+    # batch (second half of a 131072 draw): 83k -> 323k.
     def once(rescue):
         r = vsolve(
             problem, x0s, data_batch=datas, solver=solver, max_iter=50,
-            chunk_size=chunk, rescue=rescue,
+            chunk_size=chunk, rescue=rescue, max_eval=48,
         )
         jax.block_until_ready(r.states.x)
         return r

@@ -265,12 +265,28 @@ def _rescue_unsolved(
     ``.at[].set`` merge per state leaf (~25 ms tunnel latency each, ~30
     leaves).  The siblings are therefore cached on the primary solver, the
     (x0, λ0, data) gather is one jitted call, and the merge is one jitted
-    call — four dispatches per pass total."""
+    call — four dispatches per pass total.
 
-    def _pass(res, sibling):
+    Budget caps are LIFTED in the rescue passes: the rescue re-solves with
+    the reference eval/inner budgets (CaNNOLeS.jl:123-125) even when the
+    caller capped them.  This is the straggler-mitigation contract — a
+    vmapped chunk runs in lockstep to its slowest lane, so the fast pass
+    may cap ``max_eval`` to bound chunk spin (lanes exceeding it exit
+    ``max_eval``/``stalled``), and the rescue re-solves exactly that tail
+    as a small gathered subset where a long solve costs only itself."""
+
+    # reference budgets for the re-solve, regardless of fast-path caps
+    cfg = cfg._replace(
+        max_eval=jnp.asarray(100000, jnp.int32),
+        max_inner=jnp.asarray(10000, jnp.int32),
+    )
+
+    def _pass(res, sibling, only=None):
         bad = ~res.solved_mask()
         if eligible is not None:
             bad &= np.asarray(eligible)
+        if only is not None:
+            bad &= only
         idx = np.nonzero(bad)[0]
         if idx.size == 0:
             return res
@@ -317,6 +333,19 @@ def _rescue_unsolved(
             cache[kind] = sib
         return sib
 
+    # Stage 0 — budget-limited lanes (stalled / max_iter / max_eval) re-run
+    # on the PRIMARY solver with the reference budgets: they don't need a
+    # different backend, they need budget.  Re-solving them gated instead
+    # can land on the backward-error gate's knife edge (batch-shape-
+    # dependent verdicts, measured: 88/88 budget-stalled lanes broke with
+    # ρ-exhaustion under the gate at one subset shape) and punt
+    # convergent-but-slow straggler lanes onto the expensive eigh tail.
+    budget_lanes = np.isin(
+        np.asarray(result.status),
+        (int(Status.STALLED), int(Status.MAX_ITER), int(Status.MAX_EVAL)),
+    )
+    if budget_lanes.any():
+        result = _pass(result, solver, only=budget_lanes)
     if not skip_stage1:
         result = _pass(result, _sibling("gated"))
     if (~result.solved_mask()).any():

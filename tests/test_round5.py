@@ -310,3 +310,51 @@ def test_max_time_budget_excludes_first_compile(monkeypatch):
         "compile-slot wall time leaked into the max_time budget: "
         f"{st.status}"
     )
+
+
+def test_rescue_budget_stage_resolves_capped_stragglers():
+    """Straggler mitigation (round 5): ``vsolve(max_eval=<small>,
+    rescue=True)`` is the batch straggler policy — a vmapped chunk runs in
+    lockstep to its slowest lane, so the fast pass may cap the eval budget
+    (lanes exceeding it exit ``max_eval``) and the rescue's budget stage 0
+    re-solves exactly those lanes on the PRIMARY solver with the reference
+    budgets.  Routing matters: re-solving budget-stalled lanes through the
+    gated stage can hit the backward-error gate's batch-shape knife edge
+    and punt convergent lanes onto the slow eigh tail."""
+
+    def residual(x, d):
+        return jnp.array([x[0] - d[0], 10 * (x[1] - x[0] ** 2) - d[1]])
+
+    def cons(x, d):
+        return jnp.array([x[0] + x[1] - d[2]])
+
+    dtype = jnp.float32
+    pb = nls_problem(
+        residual, jnp.array([-1.2, 1.0], dtype=dtype), 2, cons, [0.0], [0.0],
+        data=jnp.zeros((3,), dtype=dtype), name="straggler_family",
+    )
+    B = 512
+    rng = np.random.default_rng(0)
+    x0s = jnp.asarray(rng.normal(scale=0.5, size=(B, 2)) + [-1.2, 1.0], dtype=dtype)
+    datas = jnp.asarray(
+        np.stack(
+            [1 + 0.2 * rng.normal(size=B), 0.1 * rng.normal(size=B),
+             1 + 0.2 * rng.normal(size=B)], axis=1,
+        ),
+        dtype=dtype,
+    )
+    solver = CaNNOLeSSolver(pb, method="lm", linsolve="ldlt", kkt="full", dtype=dtype)
+
+    capped = vsolve(pb, x0s, data_batch=datas, solver=solver, max_iter=50, max_eval=6)
+    n_budget = int((np.asarray(capped.states.status) == 5).sum())  # max_eval
+    assert n_budget > 0, "cap must actually bind for this test to mean anything"
+
+    rescued = vsolve(
+        pb, x0s, data_batch=datas, solver=solver, max_iter=50, max_eval=6,
+        rescue=True,
+    )
+    st = np.asarray(rescued.states.status)
+    assert int((st == 5).sum()) == 0, "budget-capped lanes must be re-solved"
+    # the rescue must reach the same solve set as a fully uncapped run
+    full = vsolve(pb, x0s, data_batch=datas, solver=solver, max_iter=50)
+    assert rescued.summary()["solved"] >= full.summary()["solved"]
