@@ -155,13 +155,18 @@ def run_config(problem, linsolve, B, chunk, dtype, reps=3):
     # vs a p99 of 8 — stragglers, not throughput, set the chunk wall).
     # max_eval=48 bounds the fast pass (p99 lane needs 18 evals); capped
     # lanes exit `max_eval` and the rescue's budget stage re-solves them as
-    # a small gathered subset at the reference budgets.  Measured on this
-    # rung: 425k -> 513k inst/s, still 65536/65536; on a straggler-heavy
-    # batch (second half of a 131072 draw): 83k -> 323k.
+    # a small gathered subset at the reference budgets.  Measured at
+    # B=65536: 425k -> 498-513k inst/s (542-562k with chunk=16384 on good
+    # runs), still 65536/65536; on a straggler-heavy batch (second half of
+    # a 131072 draw): 83k -> 323k.  Small batches skip the cap: the
+    # rescue's fixed dispatch cost (~75 ms of host/tunnel round trips)
+    # outweighs the straggler saving below ~16k lanes.
+    cap = {} if B < 16384 else {"max_eval": 48}
+
     def once(rescue):
         r = vsolve(
             problem, x0s, data_batch=datas, solver=solver, max_iter=50,
-            chunk_size=chunk, rescue=rescue, max_eval=48,
+            chunk_size=chunk, rescue=rescue, **cap,
         )
         jax.block_until_ready(r.states.x)
         return r
@@ -352,6 +357,7 @@ def main():
         ("pallas", 4096, None),
         ("pallas", 32768, 4096),
         ("pallas", 65536, 4096),
+        ("pallas", 65536, 16384),
     ]
     if os.environ.get("BENCH_LDLT"):
         ladder.insert(0, ("ldlt", 2048, None))
